@@ -1,0 +1,65 @@
+"""Vectorized scalar transforms: lang normalization + content sha256.
+
+The reference's entire scalar-transform surface is per-record Java inside the
+plugins (null replacement / newline scrub / decimal rounding,
+hdata-jdbc/.../reader/jdbc/JDBCReader.java:125-151; type coercion,
+hdata-core/.../util/TypeConvertUtils.java:15-42). We keep the hot path on the
+JVM: built-in Catalyst expressions first (`F.sha2`, CASE maps — whole-stage
+codegen), with Arrow-vectorized `pandas_udf` twins for the two north-star
+UDFs (sha256(content), lang normalization). There is deliberately NO
+row-at-a-time Python UDF anywhere in this package; tests audit that.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from hdata_spark.fixtures import LANG_VARIANTS
+
+# variant (lowercased) -> canonical, e.g. {"py": "python", "golang": "go"}
+_LANG_MAP: dict[str, str] = {
+    v.lower(): canonical
+    for canonical, variants in LANG_VARIANTS.items()
+    for v in variants
+}
+
+
+def normalize_lang_col(col: Column) -> Column:
+    """Canonicalize a lang label with a literal CASE map (JVM, codegen).
+
+    Unknown labels pass through lowercased; null stays null.
+    """
+    low = F.lower(F.trim(col))
+    case = None
+    for variant, canonical in sorted(_LANG_MAP.items()):
+        cond = low == F.lit(variant)
+        case = F.when(cond, F.lit(canonical)) if case is None else case.when(
+            cond, F.lit(canonical)
+        )
+    return case.otherwise(low)
+
+
+@pandas_udf(StringType())
+def normalize_lang_pudf(s: pd.Series) -> pd.Series:
+    """Arrow-vectorized twin of normalize_lang_col (north-star UDF axis)."""
+    low = s.str.strip().str.lower()
+    return low.map(_LANG_MAP).fillna(low)
+
+
+def sha256_col(col: Column) -> Column:
+    """sha256 hex digest of a string column — built-in (F.sha2, JVM-side)."""
+    return F.sha2(col.cast("string"), 256)
+
+
+@pandas_udf(StringType())
+def sha256_pudf(s: pd.Series) -> pd.Series:
+    """Arrow-vectorized sha256 — pandas_udf twin for the UDF-axis tests."""
+    return s.map(
+        lambda x: None if x is None else hashlib.sha256(str(x).encode()).hexdigest()
+    )

@@ -1,0 +1,3 @@
+from hdata_spark.streaming.ledger import CommitLedger
+from hdata_spark.streaming.metrics import MetricsLog
+from hdata_spark.streaming.replay import ReplayConfig, replay
