@@ -1,38 +1,96 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship CDC final-state query at sf0.001.
+`queries()` exposes every implemented operator from SURVEY.md §2 (plus the
+training-data ops); `oracle_sql()` gives the DuckDB-checkable twin for each.
+
+The special entry `cdc_engine_replay` runs the ACTUAL engine end-to-end —
+epoch replay loop -> LWW dedup -> bucketed snapshot MERGE -> ledger — over
+the driver's `events` table mapped to change events, then reads the final
+table state back. Its oracle is the plain LWW SQL, so the whole pipeline
+(sink included) is value-checked against DuckDB.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdata_spark.queries import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return QUERIES["cdc_final_state"](spark, "/root/testdata/sf0.001")
+
+
+def _cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine replay over `events` recast as a CDC log (rows + values
+    oracle-checked: the LWW SQL below must equal the engine's final table)."""
+    from hdata_spark.plans.schema_registry import SchemaRegistry
+    from hdata_spark.sinks.snapshot import SnapshotTable
+    from hdata_spark.streaming.ledger import CommitLedger
+    from hdata_spark.streaming.metrics import MetricsLog
+    from hdata_spark.streaming.replay import ReplayConfig, replay
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ~4 epochs at any scale factor (epoch size never changes final state,
+    # only checkpoint granularity).
+    epoch_size = max(
+        (ev.agg(F.max("event_id")).collect()[0][0] or 0) // 4 + 1, 1
+    )
+    changes = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.floor(F.col("event_id") / F.lit(epoch_size)).cast("long").alias("epoch"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.col("event_id").cast("string").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.col("props").alias("content"),
+        F.lit(None).cast("string").alias("sc_kind"),
+        F.lit(None).cast("string").alias("sc_column"),
+        F.lit(None).cast("string").alias("sc_arg"),
+    )
+    d = tempfile.mkdtemp(prefix="hdata_spark_entry_")
+    table = SnapshotTable(d + "/table", n_buckets=16)
+    ledger = CommitLedger(d + "/ledger")
+    metrics = MetricsLog(d + "/metrics")
+    registry = SchemaRegistry(state_path=d + "/registry.json")
+    replay(spark, changes, table, ledger, metrics, registry, ReplayConfig())
+    final = table.read(spark)
+    return final.select(
+        F.col("repo").cast("bigint").alias("user_id"),
+        F.col("commit").cast("bigint").alias("last_event_id"),
+        F.col("content").alias("last_props"),
+    )
+
+
+_ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_engine_replay": _cdc_engine_replay,
+}
+
+_ENGINE_ORACLES = {
+    "cdc_engine_replay": """
+    SELECT user_id, event_id AS last_event_id, props AS last_props
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {**QUERIES, **_ENGINE_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (same column names, same values)."""
+    return {**ORACLES, **_ENGINE_ORACLES}

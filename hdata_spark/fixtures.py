@@ -113,73 +113,109 @@ def generate_base(cfg: CDCFixtureConfig) -> pd.DataFrame:
 
 
 def generate_events(cfg: CDCFixtureConfig) -> pd.DataFrame:
-    """LSN-ordered change-event log (strictly increasing lsn, monotone epochs)."""
-    rng = random.Random(cfg.seed * 13 + 2)
-    keys = _key_universe(cfg)
-    # Weight choices toward hot repos: key_universe already over-represents them.
-    n_schema = len(cfg.schema_changes)
-    schema_lsns = (
-        sorted(rng.sample(range(1, cfg.n_events), n_schema)) if n_schema else []
-    )
-    schema_iter = iter(zip(schema_lsns, cfg.schema_changes))
-    next_schema = next(schema_iter, None)
+    """LSN-ordered change-event log (strictly increasing lsn, monotone epochs).
 
-    rows = []
-    for lsn in range(1, cfg.n_events + 1):
-        epoch = (lsn - 1) // cfg.epoch_size
-        if next_schema is not None and lsn == next_schema[0]:
-            kind, column, arg = next_schema[1]
-            rows.append(
-                {
-                    "lsn": lsn,
-                    "epoch": epoch,
-                    "op": "schema_change",
-                    "repo": None,
-                    "path": None,
-                    "commit": None,
-                    "lang": None,
-                    "content": None,
-                    "sc_kind": kind,
-                    "sc_column": column,
-                    "sc_arg": arg,  # new_name for rename, new_type for add/widen
-                }
-            )
-            next_schema = next(schema_iter, None)
-            continue
-        r = rng.random()
-        repo, path = rng.choice(keys)
-        if r < cfg.delete_frac:
-            op, commit, lang, content = "delete", None, None, None
-        else:
-            op = "insert" if r < cfg.delete_frac + cfg.insert_frac else "update"
-            commit = _commit(repo, path, lsn)
-            canonical = _lang_for_path(path)
-            lang = rng.choice(LANG_VARIANTS[canonical])
-            content = _content(rng, cfg.content_tokens)
-        rows.append(
-            {
-                "lsn": lsn,
-                "epoch": epoch,
-                "op": op,
-                "repo": repo,
-                "path": path,
-                "commit": commit,
-                "lang": lang,
-                "content": content,
-                "sc_kind": None,
-                "sc_column": None,
-                "sc_arg": None,
-            }
-        )
-    df = pd.DataFrame(
-        rows,
-        columns=[
-            "lsn", "epoch", "op", "repo", "path", "commit", "lang", "content",
-            "sc_kind", "sc_column", "sc_arg",
-        ],
+    Vectorized with numpy (seeded PCG64) so multi-million-event bench
+    fixtures generate in seconds; still fully deterministic per config.
+    """
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(cfg.seed * 13 + 2))
+    keys = _key_universe(cfg)
+    n = cfg.n_events
+
+    lsn = np.arange(1, n + 1, dtype=np.int64)
+    epoch = (lsn - 1) // cfg.epoch_size
+    r = rng.random(n)
+    key_idx = rng.integers(0, len(keys), size=n)
+    is_delete = r < cfg.delete_frac
+    is_insert = (~is_delete) & (r < cfg.delete_frac + cfg.insert_frac)
+
+    repos = np.array([k[0] for k in keys], dtype=object)
+    paths = np.array([k[1] for k in keys], dtype=object)
+    repo_col = repos[key_idx]
+    path_col = paths[key_idx]
+
+    # commit = deterministic 40-hex mix of (key, lsn). The oracle never
+    # recomputes commits (it reads them from the event), so only determinism
+    # matters — a splitmix-style integer mix is ~100x faster than per-row sha1.
+    mix1 = (key_idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+        lsn.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
     )
-    df["lsn"] = df["lsn"].astype("int64")
-    df["epoch"] = df["epoch"].astype("int64")
+    mix2 = (mix1 ^ (mix1 >> np.uint64(31))) * np.uint64(0x94D049BB133111EB)
+    commit_col = np.array(
+        [
+            None if d else f"{a:016x}{b:016x}{(int(a) ^ int(b)) & 0xFFFFFFFF:08x}"
+            for d, a, b in zip(is_delete, mix1, mix2)
+        ],
+        dtype=object,
+    )
+    # lang: a seeded variant of the path's canonical lang
+    variant_pick = rng.integers(0, 4, size=n)
+    lang_col = np.array(
+        [
+            None
+            if d
+            else (lambda v: v[int(i) % len(v)])(LANG_VARIANTS[_lang_for_path(pa)])
+            for d, pa, i in zip(is_delete, path_col, variant_pick)
+        ],
+        dtype=object,
+    )
+    # content: seeded sentence pool + unique tail (pool join is O(pool), the
+    # per-event work is one concat — generates 10^7 events in seconds)
+    pool_rng = np.random.Generator(np.random.PCG64(cfg.seed * 19 + 3))
+    pool = np.array(
+        [
+            " ".join(
+                _WORDS[i]
+                for i in pool_rng.integers(0, len(_WORDS), size=cfg.content_tokens)
+            )
+            for _ in range(1024)
+        ],
+        dtype=object,
+    )
+    sent_idx = rng.integers(0, len(pool), size=n)
+    content_col = np.array(
+        [
+            None if d else f"{s} #{a:016x}"
+            for d, s, a in zip(is_delete, pool[sent_idx], mix1)
+        ],
+        dtype=object,
+    )
+
+    op_col = np.where(
+        is_delete, "delete", np.where(is_insert, "insert", "update")
+    ).astype(object)
+
+    df = pd.DataFrame(
+        {
+            "lsn": lsn,
+            "epoch": epoch,
+            "op": op_col,
+            "repo": repo_col,
+            "path": path_col,
+            "commit": commit_col,
+            "lang": lang_col,
+            "content": content_col,
+            "sc_kind": None,
+            "sc_column": None,
+            "sc_arg": None,
+        }
+    )
+    df["sc_kind"] = df["sc_kind"].astype(object)
+    df["sc_column"] = df["sc_column"].astype(object)
+    df["sc_arg"] = df["sc_arg"].astype(object)
+
+    # overlay schema-change events at seeded LSNs (tiny count, python loop ok)
+    if cfg.schema_changes:
+        py_rng = random.Random(cfg.seed * 17 + 5)
+        schema_lsns = sorted(py_rng.sample(range(1, n), len(cfg.schema_changes)))
+        for ls, (kind, column, arg) in zip(schema_lsns, cfg.schema_changes):
+            i = ls - 1
+            df.loc[i, ["op", "repo", "path", "commit", "lang", "content"]] = [
+                "schema_change", None, None, None, None, None,
+            ]
+            df.loc[i, ["sc_kind", "sc_column", "sc_arg"]] = [kind, column, arg]
     return df
 
 
@@ -259,6 +295,14 @@ def write_fixture(out_dir: str, cfg: CDCFixtureConfig) -> dict[str, str]:
     events = generate_events(cfg)
     base_path = os.path.join(out_dir, "base.parquet")
     events_path = os.path.join(out_dir, "events.parquet")
-    base.to_parquet(base_path, index=False)
-    events.to_parquet(events_path, index=False)
+    # Small row groups: (a) Spark scan splits cannot exceed row-group
+    # boundaries, so this sets the scan parallelism ceiling; (b) the monotone
+    # epoch column becomes row-group-prunable for per-epoch reads.
+    # compression=None: synthetic text compresses unrealistically well, which
+    # would shrink file bytes and cap Spark's scan-split parallelism; raw
+    # bytes keep split planning honest (real 100 TB corpora have entropy).
+    base.to_parquet(base_path, index=False, row_group_size=50_000)
+    events.to_parquet(
+        events_path, index=False, row_group_size=50_000, compression=None
+    )
     return {"base": base_path, "events": events_path}

@@ -7,19 +7,27 @@ order. We make the semantics explicit: within any batch, the event with the
 highest LSN per (repo, path) wins; everything else is discarded before the
 merge. This is what makes the apply stage order-free and idempotent.
 
-Two implementations:
+Three implementations:
 
-- `lww_latest` (default): ``groupBy(keys).agg(max_by(struct(all), order))``.
-  One shuffle with map-side partial aggregation — each map task pre-reduces to
-  one candidate row per key before the exchange, so shuffle volume is
-  O(distinct keys per task), not O(events). At 10^10 events this is the only
-  acceptable plan.
-- `lww_latest_window`: ``row_number() OVER (PARTITION BY keys ORDER BY lsn
-  DESC) = 1``. Same result, but sorts every group and shuffles every row;
-  kept for cross-checking and for callers that need losers too.
+- `lww_latest` (default): slim hash-aggregate of ``max(order)`` per key,
+  then a shuffle-hash LEFT SEMI join back on (keys..., order) to pull the
+  winning rows. Everything stays hash-based: the aggregation buffer is a
+  fixed-size long (whole-stage-codegen HashAggregate with effective
+  map-side combine on a ~70 B key+lsn projection), and the join is hinted
+  shuffle_hash so no sort ever touches the wide content rows. At 10^10
+  events this is the only plan that works: the obvious one-pass
+  ``max_by(struct(payload))`` has a variable-length aggregation buffer, so
+  Spark silently falls back to SortAggregate — externally sorting the full
+  event stream twice (measured: mostly-idle CPUs and zero core-count
+  scaling on an 8M-event replay).
+- `lww_latest_maxby`: that one-pass max_by plan — kept for small inputs and
+  as a cross-check.
+- `lww_latest_window`: ``row_number() OVER (...) = 1`` — kept for
+  cross-checking and callers that need losers too.
 
-Ties: LSNs are unique by construction (global sequence); ``order_col`` must be
-a total order. For multi-column tiebreaks pass a struct column.
+Ties: LSNs are unique by construction (global sequence); ``order_col`` must
+be a total order per key, or winners are ambiguous (the semi-join would keep
+multiple rows where max_by would pick one arbitrarily).
 """
 
 from __future__ import annotations
@@ -35,7 +43,26 @@ def lww_latest(
     keys: Sequence[str] = ("repo", "path"),
     order_col: str = "lsn",
 ) -> DataFrame:
-    """Keep the max-`order_col` row per key; columns preserved in order."""
+    """Keep the max-`order_col` row per key; columns preserved in order.
+
+    Plan: HashAggregate(max(order)) over a slim projection + shuffle-hash
+    LEFT SEMI join back — no SortAggregate fallback (see module docstring).
+    """
+    winners = df.select(*keys, order_col).groupBy(*keys).agg(
+        F.max(order_col).alias(order_col)
+    )
+    return df.join(
+        winners.hint("shuffle_hash"), on=[*keys, order_col], how="left_semi"
+    ).select(*df.columns)
+
+
+def lww_latest_maxby(
+    df: DataFrame,
+    keys: Sequence[str] = ("repo", "path"),
+    order_col: str = "lsn",
+) -> DataFrame:
+    """One-pass max_by(struct) variant — SortAggregate at scale; small inputs
+    and cross-checks only."""
     payload = [c for c in df.columns if c not in keys]
     winner = df.groupBy(*keys).agg(
         F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(order_col)).alias("_w")

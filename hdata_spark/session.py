@@ -42,10 +42,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode runs every task inside the driver JVM; size the heap for
+        # cores x in-flight partitions of wide string data or GC dominates.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 32 MB scan splits: CDC replay does real per-row work (hashing,
+        # normalization, wide-struct agg), so favor more, smaller scan tasks
+        # than the 128 MB default; AQE coalesces any resulting small shuffles.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -50,10 +50,18 @@ from pyspark.sql import types as T
 from hdata_spark.operators.dedup import lww_latest
 
 BASE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+# Engine-maintained derived column: sha256 of content, computed by the
+# replay pipeline's vectorized transform (north-star UDF; also the per-row
+# verification invariant). Stored so change detection / audits never rescan
+# content.
+DERIVED_COLUMNS = ["content_sha256"]
 
 
 def _default_schema() -> list[dict]:
-    return [{"name": c, "type": "string", "sources": [c]} for c in BASE_COLUMNS]
+    return [
+        {"name": c, "type": "string", "sources": [c]}
+        for c in BASE_COLUMNS + DERIVED_COLUMNS
+    ]
 
 
 class SnapshotTable:
@@ -189,14 +197,23 @@ class SnapshotTable:
         spark: SparkSession,
         batch: DataFrame,
         affected: Sequence[int] | None = None,
+        batch_deduped: bool = False,
     ) -> dict:
         """MERGE batch into the table; returns commit stats.
 
         `batch` columns: logical table columns + `op` ('insert' | 'update' |
-        'delete') + `lsn`. The batch SHOULD already be LWW-deduped per key
-        (replay does this); merge re-resolves against stored rows by max LSN
-        regardless, so a stray duplicate or a replayed epoch cannot corrupt
-        state.
+        'delete') + `lsn`. Pass ``batch_deduped=True`` only when the batch is
+        already LWW-unique per key (the replay pipeline's contract);
+        otherwise merge dedups it first.
+
+        Resolution is a single shuffle-hash FULL OUTER join between the
+        stored rows (unique per key by construction) and the batch winners
+        (unique per key): the incoming row wins iff its LSN is strictly
+        higher than the stored one — equal LSN means the same event, already
+        applied, so replays are no-ops. This is exactly the `MERGE INTO ...
+        WHEN MATCHED AND s.lsn > t.lsn` plan Iceberg would produce; with
+        storage-partitioned join both sides would not even shuffle (both are
+        bucketed by key — noted for the Iceberg sink).
 
         `affected` (optional): the batch's distinct bucket ids, if the caller
         already knows them (replay derives them from its metrics pass) —
@@ -208,6 +225,15 @@ class SnapshotTable:
         m_evolved = bool(manifest.get("evolved"))
         logical = [c["name"] for c in spec]
 
+        # Tolerate batches missing trailing logical columns (e.g. hand-built
+        # test batches without derived/evolved columns): fill with nulls.
+        for name in logical:
+            if name not in batch.columns:
+                spec_t = next(c["type"] for c in spec if c["name"] == name)
+                batch = batch.withColumn(name, F.lit(None).cast(spec_t))
+
+        if not batch_deduped:
+            batch = lww_latest(batch, self.keys, "lsn")
         batch = batch.withColumn("bucket", self._bucket_expr())
         if affected is None:
             # Affected buckets: tiny collect (<= n_buckets ints).
@@ -223,41 +249,66 @@ class SnapshotTable:
         has_stored = any(
             manifest["buckets"].get(str(b)) for b in affected
         )
-        if has_stored:
-            current = self.read_internal(spark, buckets=affected)
-            base = current.select(
-                *logical,
-                F.col("_lsn").alias("lsn"),
-                F.when(F.col("_op") == "d", F.lit("delete"))
-                .otherwise(F.lit("update"))
-                .alias("op"),
-                "bucket",
-            )
-            # LWW across stored + incoming: stored rows carry their original
-            # LSN, so replayed old events lose to already-applied newer state.
-            resolved = lww_latest(base.unionByName(incoming), self.keys, "lsn")
-        else:
-            # Empty-target fast path (initial load): batch is already deduped
-            # per key upstream; still re-dedup defensively (cheap, same plan).
-            resolved = lww_latest(incoming, self.keys, "lsn")
         # Deletes persist as TOMBSTONE rows (_op='d') rather than row
         # absence: replaying an arbitrary old epoch can then never resurrect
         # a deleted key — the tombstone's higher LSN wins. (Compacted-topic /
         # Iceberg-delete-file semantics; expired by `compact()`.)
-        survivors = resolved.select(
-            *logical,
-            F.col("lsn").alias("_lsn"),
-            F.when(F.col("op") == "delete", F.lit("d"))
-            .otherwise(F.lit("u"))
-            .alias("_op"),
-            "bucket",
-        )
+        if has_stored:
+            stored = self.read_internal(spark, buckets=affected).alias("t")
+            s = incoming.alias("s")
+            cond = None
+            for k in self.keys:
+                eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+                cond = eq if cond is None else cond & eq
+            j = stored.join(s.hint("shuffle_hash"), cond, "full_outer")
+            # Incoming wins iff STRICTLY newer; equal LSN == same event,
+            # already applied -> stored row wins (idempotent replays).
+            take_s = F.col("s.lsn").isNotNull() & (
+                F.col("t._lsn").isNull() | (F.col("s.lsn") > F.col("t._lsn"))
+            )
+            payload = [c for c in logical if c not in self.keys]
+            survivors = j.select(
+                *[
+                    F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k)
+                    for k in self.keys
+                ],
+                *[
+                    F.when(take_s, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    for c in payload
+                ],
+                F.when(take_s, F.col("s.lsn"))
+                .otherwise(F.col("t._lsn"))
+                .alias("_lsn"),
+                F.when(
+                    take_s,
+                    F.when(F.col("s.op") == "delete", F.lit("d")).otherwise(
+                        F.lit("u")
+                    ),
+                )
+                .otherwise(F.col("t._op"))
+                .alias("_op"),
+                F.coalesce(F.col("s.bucket"), F.col("t.bucket")).alias("bucket"),
+            ).select(*logical, "_lsn", "_op", "bucket")
+        else:
+            # Empty-target fast path (initial load / fresh buckets).
+            survivors = incoming.select(
+                *logical,
+                F.col("lsn").alias("_lsn"),
+                F.when(F.col("op") == "delete", F.lit("d"))
+                .otherwise(F.lit("u"))
+                .alias("_op"),
+                "bucket",
+            )
 
         # Copy-on-write: rewrite ONLY affected buckets as a new file set.
         out_rel = os.path.join("data", f"v{version + 1:08d}-{uuid.uuid4().hex[:8]}")
         out_abs = os.path.join(self.root, out_rel)
         (
-            survivors.repartition(max(len(affected) // 4, 1), F.col("bucket"))
+            # one task per affected bucket: write parallelism tracks the merge
+            # width, and each bucket lands as a single file
+            survivors.repartition(len(affected), F.col("bucket"))
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(out_abs)
@@ -289,11 +340,16 @@ class SnapshotTable:
         }
 
     def overwrite(self, spark: SparkSession, df: DataFrame, lsn_col=None) -> dict:
-        """Full load. df has the logical columns (+ optional lsn column)."""
+        """Full load. df has the logical columns (+ optional lsn column).
+
+        The derived content_sha256 is computed here when absent, so base
+        loads get the same invariant column the replay pipeline maintains.
+        """
+        if "content_sha256" not in df.columns and "content" in df.columns:
+            df = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
         lsn = F.col(lsn_col) if lsn_col else F.lit(0).cast("long")
-        batch = df.select(
-            *self.columns(), lsn.alias("lsn"), F.lit("insert").alias("op")
-        )
+        cols = [c for c in self.columns() if c in df.columns]
+        batch = df.select(*cols, lsn.alias("lsn"), F.lit("insert").alias("op"))
         return self.merge(spark, batch)
 
     # ---------------- schema evolution ----------------

@@ -4,38 +4,63 @@ This is the engine's equivalent of the reference's whole runtime
 (hdata-core/.../core/HData.java:45-217: splitter -> reader threads -> ring
 buffer -> writer pool), rebuilt as a bounded micro-batch loop:
 
-    for each epoch (= `maxOffsetsPerTrigger`-style LSN window):
-        skip if ledger says committed            (exactly-once fast path)
-        apply schema_change events to registry    (schema evolution)
-        normalize lang + project to registry      (vectorized, JVM/Arrow)
-        LWW-dedup per (repo, path) by LSN         (map-side combine agg)
-        MERGE into the bucketed snapshot table    (copy-on-write, pruned)
-        emit per-partition metrics + ledger row   (observability, resume)
+    for each run of epochs (split at schema-change boundaries):
+        scan + transform + LWW-dedup the WHOLE run in one pass   (cached)
+        for each epoch in the run:
+            skip if ledger says committed      (exactly-once fast path)
+            MERGE epoch's winners into the bucketed snapshot
+            emit per-partition metrics + ledger row
 
-Epoch boundaries come from the `epoch` column (lsn // epoch_size — the
-fixture generator's contract) so the same input replays identically from any
-checkpoint. Batch mode here == Structured Streaming `foreachBatch` with
-`Trigger.AvailableNow`; `hdata_spark.streaming.stream` wires that variant.
+Run batching is the key scan optimization: a resume-from-scratch replay of E
+epochs reads the event log ONCE (filtered to uncommitted epochs — parquet
+row-group pruning on the monotone epoch column), not E times. Dedup is keyed
+(epoch, repo, path), so per-epoch winners are computed in a single shuffle
+while MERGE order across epochs stays strictly sequential — the stored-LSN
+LWW in the sink makes per-epoch application equal to global LWW. Epochs that
+contain schema_change events form their own single-epoch run (the projection
+changes mid-stream, exactly like Structured Streaming restarting a query on
+schema change).
 
-Shuffle budget per epoch (the 100 TB question): exactly two — the partial-agg
-exchange of the LWW groupBy (shuffle volume = distinct keys, not events, due
-to map-side combine) and the bucket exchange before the copy-on-write write.
-Hot-repo skew cannot hurt either: both are keyed by (repo, path)/bucket,
-which is uniform; repo-grained aggregations (the skew-visible ones) go
-through the salted two-stage path in `_repo_counts_salted`.
+Per-event transforms (north-star UDF axis) run pre-dedup, vectorized:
+lang normalization (CASE map or Arrow pandas_udf) and content sha256
+(F.sha2 or Arrow pandas_udf) — zero per-row Python either way.
+
+Shuffle budget for a run of k epochs (the 100 TB question): one partial-agg
+exchange for the LWW groupBy (shuffle volume = per-epoch distinct keys, not
+events, thanks to map-side combine) + k bucket exchanges for the
+copy-on-write writes. Hot-repo skew cannot hurt either: both are keyed by
+(repo, path)/bucket, which is uniform; repo-grained aggregations (the
+skew-visible ones) go through the salted two-stage path.
 """
 
 from __future__ import annotations
 
 import functools
+import os
+import shutil
+import sys
+import time
+import uuid
 from dataclasses import dataclass
+
+_PROF = os.environ.get("HDATA_PROF") == "1"
+
+
+def _prof(label: str, t0: float) -> float:
+    t1 = time.time()
+    if _PROF:
+        print(f"[prof] {label}: {t1 - t0:.2f}s", file=sys.stderr, flush=True)
+    return t1
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hdata_spark.functions.text import normalize_lang_col, normalize_lang_pudf
+from hdata_spark.functions.text import (
+    normalize_lang_col,
+    normalize_lang_pudf,
+    sha256_pudf,
+)
 from hdata_spark.operators.dedup import lww_latest
-from hdata_spark.operators.partitioning import build_salt_map, with_salt
 from hdata_spark.plans.schema_registry import SchemaRegistry
 from hdata_spark.sinks.snapshot import SnapshotTable
 from hdata_spark.streaming.ledger import CommitLedger
@@ -60,96 +85,66 @@ def _fingerprint_agg():
     return F.expr("bit_xor(xxhash64(repo, path, lsn))")
 
 
-def _repo_counts_salted(
-    data: DataFrame, salt_map: dict[str, int]
-) -> DataFrame:
-    """Per-repo applied counts via salted two-stage aggregation.
-
-    Stage 1 aggregates (repo, _salt) — the hot repo's rows spread over its
-    salt buckets; stage 2 re-aggregates the tiny partials by repo.
-    """
-    salted = with_salt(data, salt_map, key="repo", subkey="path")
-    partial = salted.groupBy("repo", "_salt").agg(F.count("*").alias("c"))
-    return partial.groupBy("repo").agg(F.sum("c").alias("rows"))
+def _transform(data: DataFrame, registry: SchemaRegistry, cfg: ReplayConfig) -> DataFrame:
+    """Vectorized per-event transforms + registry projection."""
+    if cfg.use_pandas_udfs:
+        data = data.withColumn("lang", normalize_lang_pudf(F.col("lang")))
+        data = data.withColumn("content_sha256", sha256_pudf(F.col("content")))
+    else:
+        data = data.withColumn("lang", normalize_lang_col(F.col("lang")))
+        data = data.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    return registry.project_batch(data)
 
 
-def apply_epoch(
-    spark: SparkSession,
+def _salt_map_from(per_repo: list, cfg: ReplayConfig) -> dict[str, int]:
+    if not (cfg.detect_skew and per_repo):
+        return {}
+    mean_repo = sum(r["applied_events"] for r in per_repo) / len(per_repo)
+    salt_map = {}
+    for r in per_repo:
+        if r["applied_events"] > cfg.salt_threshold * mean_repo:
+            n = min(
+                cfg.max_salts,
+                max(2, -(-int(r["applied_events"]) // max(int(mean_repo), 1))),
+            )
+            salt_map[r["repo"]] = int(n)
+    return salt_map
+
+
+def _apply_schema_changes(
     batch: DataFrame,
     table: SnapshotTable,
     registry: SchemaRegistry,
-    cfg: ReplayConfig,
-    epoch: int,
-    global_max_lsn: int,
-    has_schema_changes: bool = True,
-) -> dict:
-    """Apply one epoch's events; returns the ledger record (not yet written)."""
-    # -- 1. schema evolution: tiny collect of schema_change events, in order.
-    # Skipped entirely when the caller's upfront per-epoch profile says the
-    # epoch has none (saves one job per epoch on the common path).
-    if has_schema_changes:
-        changes = (
-            batch.filter(F.col("op") == "schema_change")
-            .select("lsn", "sc_kind", "sc_column", "sc_arg")
-            .orderBy("lsn")
-            .collect()
-        )
-        for ch in changes:
-            registry.apply_change(
-                ch["sc_kind"], ch["sc_column"], ch["sc_arg"], ch["lsn"]
-            )
-        if changes:
-            table.evolve_schema(registry.spec)
-
-    # -- 2. data events: normalize + project to the (possibly new) schema.
-    data = batch.filter(F.col("op") != "schema_change").drop(
-        "sc_kind", "sc_column", "sc_arg"
-    )
-    norm = normalize_lang_pudf if cfg.use_pandas_udfs else normalize_lang_col
-    data = data.withColumn("lang", norm(F.col("lang")))
-    data = registry.project_batch(data)
-
-    # -- 3. LWW dedup per key (one partial-agg shuffle).
-    deduped = lww_latest(data, keys=tuple(table.keys), order_col="lsn")
-    deduped = deduped.withColumn("bucket", table._bucket_expr()).persist()
-
-    # -- 4. metrics + fingerprint + skew detection in ONE aggregation pass:
-    # GROUPING SETS ((bucket), (repo)) — per-bucket ledger/metrics rows and
-    # per-repo mass (hot-key detector input) from a single shuffle. The
-    # per-repo result also materializes `deduped` into the cache, so the
-    # merge below reuses it without recompute.
-    gsets = (
-        deduped.groupingSets(
-            [["bucket"], ["repo"]], F.col("bucket"), F.col("repo")
-        )
-        .agg(
-            F.count("*").alias("applied_events"),
-            F.max("lsn").alias("max_applied_lsn"),
-            _fingerprint_agg().alias("fp"),
-        )
+) -> int:
+    """Collect this batch's schema_change events (tiny) and apply in order."""
+    changes = (
+        batch.filter(F.col("op") == "schema_change")
+        .select("lsn", "sc_kind", "sc_column", "sc_arg")
+        .orderBy("lsn")
         .collect()
     )
-    per_bucket = [r for r in gsets if r["bucket"] is not None]
-    per_repo = [r for r in gsets if r["repo"] is not None]
-    salt_map = {}
-    if cfg.detect_skew and per_repo:
-        mean_repo = sum(r["applied_events"] for r in per_repo) / len(per_repo)
-        for r in per_repo:
-            if r["applied_events"] > cfg.salt_threshold * mean_repo:
-                n = min(
-                    cfg.max_salts,
-                    max(2, -(-r["applied_events"] // max(int(mean_repo), 1))),
-                )
-                salt_map[r["repo"]] = int(n)
+    for ch in changes:
+        registry.apply_change(ch["sc_kind"], ch["sc_column"], ch["sc_arg"], ch["lsn"])
+    if changes:
+        table.evolve_schema(registry.spec)
+    return len(changes)
 
-    # -- 5. MERGE (copy-on-write over affected buckets only).
-    affected = sorted(int(r["bucket"]) for r in per_bucket)
-    merge_stats = table.merge(spark, deduped.drop("bucket"), affected=affected)
-    deduped.unpersist()
 
+def _commit_epoch(
+    epoch: int,
+    rows_bucket: list,
+    rows_repo: list,
+    merge_stats: dict,
+    registry: SchemaRegistry,
+    ledger: CommitLedger,
+    metrics: MetricsLog,
+    cfg: ReplayConfig,
+    global_max_lsn: int,
+) -> dict:
+    salt_map = _salt_map_from(rows_repo, cfg)
     mean_rows = (
-        sum(r["applied_events"] for r in per_bucket) / len(per_bucket)
-        if per_bucket
+        sum(r["applied_events"] for r in rows_bucket) / len(rows_bucket)
+        if rows_bucket
         else 0.0
     )
     partitions = [
@@ -160,25 +155,132 @@ def apply_epoch(
             "skew_ratio": (r["applied_events"] / mean_rows) if mean_rows else 0.0,
             "salt_buckets": int(sum(salt_map.values()) or 1),
         }
-        for r in sorted(per_bucket, key=lambda r: r["bucket"])
+        for r in sorted(rows_bucket, key=lambda r: r["bucket"])
     ]
     fingerprint = format(
         functools.reduce(
-            lambda a, r: a ^ (int(r["fp"]) & 0xFFFFFFFFFFFFFFFF), per_bucket, 0
+            lambda a, r: a ^ (int(r["fp"]) & 0xFFFFFFFFFFFFFFFF), rows_bucket, 0
         ),
         "016x",
     )
-    return {
+    record = {
         "partitions": partitions,
         "batch_fingerprint": fingerprint,
         "committed_at_lsn": max(
-            (int(r["max_applied_lsn"]) for r in per_bucket), default=0
+            (int(r["max_applied_lsn"]) for r in rows_bucket), default=0
         ),
         "applied_events": sum(p["applied_events"] for p in partitions),
         "schema_version": registry.versions[-1]["schema_version"],
         "snapshot_version": merge_stats["version"],
         "salt_map": salt_map,
     }
+    # Order matters for crash safety: the data commit (merge) already
+    # happened; a crash before the ledger write below leaves a committed-but-
+    # unledgered epoch, which re-applies as a no-op (stored-LSN LWW).
+    metrics.append(
+        epoch,
+        [
+            {k: p[k] for k in (
+                "partition_id", "lag_events", "applied_events",
+                "skew_ratio", "salt_buckets",
+            )}
+            for p in partitions
+        ],
+    )
+    ledger.commit(epoch, record)
+    return record
+
+
+def _apply_run(
+    spark: SparkSession,
+    events: DataFrame,
+    run: list[int],
+    table: SnapshotTable,
+    ledger: CommitLedger,
+    metrics: MetricsLog,
+    registry: SchemaRegistry,
+    cfg: ReplayConfig,
+    global_max_lsn: int,
+    has_schema_changes: bool,
+) -> None:
+    """Apply a contiguous run of uncommitted epochs: one scan, k merges."""
+    lo, hi = run[0], run[-1]
+    batch = events.filter(F.col("epoch").between(lo, hi))
+    if has_schema_changes:
+        _apply_schema_changes(batch, table, registry)
+
+    data = batch.filter(F.col("op") != "schema_change").drop(
+        "sc_kind", "sc_column", "sc_arg"
+    )
+
+    # One shuffle for the whole run: per-epoch LWW winners, STAGED to an
+    # epoch-partitioned parquet dataset next to the table. Staging (instead
+    # of .persist) matters twice over: the columnar cache builder
+    # anti-scales with cores (measured 22s@8 -> 57s@32 for the same data),
+    # while a parquet write scales; and at 10^10 events the winners don't
+    # fit executor storage memory anyway — a one-pass spill to the (scalable)
+    # table filesystem with per-epoch partition pruning is the design that
+    # survives the scale-up.
+    # Dedup FIRST, transform AFTER: the winner set is typically a small
+    # fraction of the event stream (LWW collapses per-key churn), so running
+    # the vectorized transforms (sha256, lang normalization, projection) on
+    # winners only cuts their cost by the churn factor; the winners
+    # aggregation itself reads just (epoch, keys, lsn) — column-pruned at
+    # the scan. Transforms are row-wise, so the reorder is semantics-free.
+    deduped = lww_latest(data, keys=("epoch", *table.keys), order_col="lsn")
+    deduped = _transform(deduped, registry, cfg)
+    deduped = deduped.withColumn("bucket", table._bucket_expr())
+    stage_dir = os.path.join(
+        table.root, "_staging", f"run_{lo:08d}_{hi:08d}_{uuid.uuid4().hex[:8]}"
+    )
+    t0 = time.time()
+    # Flat layout (epoch kept as a column, no partitionBy): dynamic-partition
+    # writes sort every task's rows by the partition key, which dominates the
+    # write for wide string rows; per-epoch reads of the staged set are cheap
+    # column-pruned scans, and at cluster scale row-group stats on the
+    # monotone epoch column prune them further.
+    deduped.write.mode("overwrite").parquet(stage_dir)
+    t0 = _prof(f"run[{lo}-{hi}] stage write", t0)
+    staged = spark.read.parquet(stage_dir)
+
+    # One metrics pass for the whole run: GROUPING SETS ((epoch, bucket),
+    # (epoch, repo)) — ledger/metrics rows and the hot-key detector input.
+    gsets = (
+        staged.groupingSets(
+            [["epoch", "bucket"], ["epoch", "repo"]],
+            F.col("epoch"), F.col("bucket"), F.col("repo"),
+        )
+        .agg(
+            F.count("*").alias("applied_events"),
+            F.max("lsn").alias("max_applied_lsn"),
+            _fingerprint_agg().alias("fp"),
+        )
+        .collect()
+    )
+    t0 = _prof(f"run[{lo}-{hi}] gsets", t0)
+    by_epoch_bucket: dict[int, list] = {e: [] for e in run}
+    by_epoch_repo: dict[int, list] = {e: [] for e in run}
+    for r in gsets:
+        if r["bucket"] is not None:
+            by_epoch_bucket[int(r["epoch"])].append(r)
+        elif r["repo"] is not None:
+            by_epoch_repo[int(r["epoch"])].append(r)
+
+    for epoch in run:
+        rows_bucket = by_epoch_bucket.get(epoch, [])
+        affected = sorted(int(r["bucket"]) for r in rows_bucket)
+        merge_stats = table.merge(
+            spark,
+            staged.filter(F.col("epoch") == epoch).drop("bucket", "epoch"),
+            affected=affected,
+            batch_deduped=True,  # staged winners are unique per (epoch, key)
+        )
+        _commit_epoch(
+            epoch, rows_bucket, by_epoch_repo.get(epoch, []), merge_stats,
+            registry, ledger, metrics, cfg, global_max_lsn,
+        )
+        t0 = _prof(f"epoch {epoch} merge+commit", t0)
+    shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 def replay(
@@ -190,6 +292,7 @@ def replay(
     registry: SchemaRegistry,
     cfg: ReplayConfig | None = None,
     upto_epoch: int | None = None,
+    max_epochs_per_run: int = 16,
 ) -> dict:
     """Run the epoch loop; resumable — committed epochs are skipped.
 
@@ -210,8 +313,8 @@ def replay(
     if bounds["max_lsn"] is None:
         return {"epochs_applied": 0, "epochs_skipped": 0}
     global_max_lsn = int(bounds["max_lsn"])
-    # Upfront profile: which epochs contain schema_change events (tiny job,
-    # saves one per-epoch collect on the common no-evolution path).
+
+    # Upfront profile: which epochs contain schema_change events (tiny job).
     sc_epochs: set[int] = set()
     if bounds["max_sc_epoch"] is not None:
         sc_epochs = {
@@ -221,35 +324,40 @@ def replay(
             .distinct()
             .collect()
         }
-    applied = skipped = 0
+
+    todo = []
+    skipped = 0
     for epoch in range(int(bounds["min_epoch"]), int(bounds["max_epoch"]) + 1):
         if upto_epoch is not None and epoch > upto_epoch:
             break
         if ledger.is_committed(epoch):
             skipped += 1
-            continue
-        batch = events.filter(F.col("epoch") == epoch)
-        record = apply_epoch(
-            spark, batch, table, registry, cfg, epoch, global_max_lsn,
-            has_schema_changes=epoch in sc_epochs,
+        else:
+            todo.append(epoch)
+
+    # Runs: contiguous uncommitted epochs, split at schema-change epochs
+    # (each of those runs alone) and capped at max_epochs_per_run.
+    runs: list[list[int]] = []
+    for epoch in todo:
+        if (
+            runs
+            and epoch == runs[-1][-1] + 1
+            and epoch not in sc_epochs
+            and runs[-1][-1] not in sc_epochs
+            and len(runs[-1]) < max_epochs_per_run
+        ):
+            runs[-1].append(epoch)
+        else:
+            runs.append([epoch])
+
+    for run in runs:
+        _apply_run(
+            spark, events, run, table, ledger, metrics, registry, cfg,
+            global_max_lsn, has_schema_changes=bool(set(run) & sc_epochs),
         )
-        # Order matters for crash safety: data commit (inside apply_epoch's
-        # merge) happens BEFORE metrics/ledger. A crash between them leaves a
-        # committed-but-unledgered epoch, which re-applies as a no-op (LWW).
-        metrics.append(
-            epoch,
-            [
-                {k: p[k] for k in (
-                    "partition_id", "lag_events", "applied_events",
-                    "skew_ratio", "salt_buckets",
-                )}
-                for p in record["partitions"]
-            ],
-        )
-        ledger.commit(epoch, record)
-        applied += 1
     return {
-        "epochs_applied": applied,
+        "epochs_applied": len(todo),
         "epochs_skipped": skipped,
+        "runs": len(runs),
         "final_snapshot_version": table.current_version(),
     }

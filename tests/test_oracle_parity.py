@@ -1,0 +1,72 @@
+"""Driver-style oracle parity: every QUERIES entry vs its DuckDB ORACLES SQL.
+
+Mimics the external driver's check (CORRECTNESS_r{N}.json): run the Spark
+query and the DuckDB SQL on the same parquet, compare row count, column
+names, and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from hdata_spark.queries import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a, b = _canon(spark_rows, spark_cols), _canon(duck_rows, duck_cols)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y][:5]
+    assert a == b, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+def test_all_queries_have_entries():
+    # every oracle key maps to a query; queries without oracle are allowed
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(QUERIES) >= 20

@@ -49,6 +49,12 @@ def test_golden_final_state(spark, tmp_path, small_fixture):
     assert_state_equal(actual, expected)
     assert stats["epochs_applied"] == 4
     assert len(ledger.committed_epochs()) == 4
+    # stored derived column == sha256(content) for every row (the per-row
+    # invariant the north-star verifies against the reference)
+    import hashlib
+
+    for r in actual.itertuples():
+        assert r.content_sha256 == hashlib.sha256(r.content.encode()).hexdigest()
 
 
 def test_replay_from_empty_table(spark, tmp_path, small_fixture):

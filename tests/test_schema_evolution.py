@@ -1,0 +1,128 @@
+"""Schema evolution (SURVEY §5.2.5): add / rename / widen interleaved with data."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from hdata_spark.fixtures import (
+    CDCFixtureConfig,
+    generate_base,
+    generate_events,
+    oracle_final_state,
+)
+from hdata_spark.plans.schema_registry import SchemaRegistry
+from hdata_spark.sinks.snapshot import SnapshotTable
+from hdata_spark.streaming.ledger import CommitLedger
+from hdata_spark.streaming.metrics import MetricsLog
+from hdata_spark.streaming.replay import ReplayConfig, replay
+
+from tests.conftest import assert_state_equal
+
+
+@pytest.fixture(scope="module")
+def evo_cfg():
+    return CDCFixtureConfig(
+        seed=43,
+        n_repos=8,
+        paths_per_repo=12,
+        hot_repos=0,
+        n_events=1_200,
+        epoch_size=400,
+        base_rows=60,
+        schema_changes=(
+            ("add", "stars", "int"),
+            ("rename", "stars", "stargazers"),
+            ("widen", "stargazers", "bigint"),
+        ),
+    )
+
+
+def _engine(tmp_path):
+    return (
+        SnapshotTable(str(tmp_path / "t"), n_buckets=8),
+        CommitLedger(str(tmp_path / "l")),
+        MetricsLog(str(tmp_path / "m")),
+        SchemaRegistry(state_path=str(tmp_path / "r.json")),
+    )
+
+
+def test_evolution_replay_preserves_data(spark, tmp_path, evo_cfg):
+    base, events = generate_base(evo_cfg), generate_events(evo_cfg)
+    table, ledger, metrics, registry = _engine(tmp_path)
+    table.overwrite(spark, spark.createDataFrame(base))
+    replay(spark, spark.createDataFrame(events), table, ledger, metrics, registry)
+
+    # final logical schema: base + derived sha + stargazers:bigint
+    assert table.columns() == [
+        "repo", "path", "commit", "lang", "content", "content_sha256", "stargazers",
+    ]
+    spec = {c["name"]: c for c in table.schema_spec()}
+    assert spec["stargazers"]["type"] == "bigint"
+    assert "stars" in spec["stargazers"]["sources"]  # rename lineage kept
+
+    out = table.read(spark).toPandas()
+    # content/row state is unaffected by schema churn
+    assert_state_equal(
+        out.drop(columns=["stargazers", "content_sha256"]),
+        oracle_final_state(base, events),
+    )
+    # added column is typed null (events never carry it)
+    assert out["stargazers"].isna().all()
+
+    # registry DataFrame view records all versions
+    reg_df = registry.to_df(spark).toPandas()
+    assert reg_df["schema_version"].max() == 3
+    renamed = reg_df[reg_df["renamed_from"].notna()]
+    assert set(renamed["column"]) == {"stargazers"}
+
+
+def test_evolution_resume_restores_registry(spark, tmp_path, evo_cfg):
+    """A resumed replay reconstructs registry state from its persisted file."""
+    base, events = generate_base(evo_cfg), generate_events(evo_cfg)
+    table, ledger, metrics, registry = _engine(tmp_path)
+    table.overwrite(spark, spark.createDataFrame(base))
+    ev = spark.createDataFrame(events)
+    replay(spark, ev, table, ledger, metrics, registry, upto_epoch=1)
+    # simulate a fresh process: registry reloaded from disk
+    registry2 = SchemaRegistry(state_path=str(tmp_path / "r.json"))
+    assert registry2.versions == registry.versions
+    replay(spark, ev, table, ledger, metrics, registry2)
+    out = table.read(spark).toPandas()
+    assert_state_equal(
+        out.drop(columns=["stargazers", "content_sha256"]),
+        oracle_final_state(base, events),
+    )
+
+
+def test_rename_reads_old_physical_files(spark, tmp_path):
+    """Data written under the old column name stays readable after rename."""
+    table = SnapshotTable(str(tmp_path / "t"), n_buckets=4)
+    reg = SchemaRegistry(state_path=str(tmp_path / "r.json"))
+    reg.apply_change("add", "stars", "int", at_lsn=1)
+    table.evolve_schema(reg.spec)
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [{"repo": "o/r", "path": "a.py", "commit": "c1", "lang": "python",
+              "content": "x", "stars": 7, "lsn": 2, "op": "insert"}]
+        )
+    )
+    table.merge(spark, batch)
+    reg.apply_change("rename", "stars", "stargazers", at_lsn=3)
+    table.evolve_schema(reg.spec)
+    out = table.read(spark).toPandas()
+    assert list(out.columns) == [
+        "repo", "path", "commit", "lang", "content", "content_sha256", "stargazers",
+    ]
+    assert out.iloc[0]["stargazers"] == 7  # resolved through rename lineage
+
+    # widen after rename: value survives the int -> bigint cast
+    reg.apply_change("widen", "stargazers", "bigint", at_lsn=4)
+    table.evolve_schema(reg.spec)
+    out2 = table.read(spark).toPandas()
+    assert out2.iloc[0]["stargazers"] == 7
+
+    # compaction physically materializes the rename + widen
+    table.compact(spark)
+    out3 = table.read(spark).toPandas()
+    assert out3.iloc[0]["stargazers"] == 7
