@@ -71,18 +71,72 @@ def _cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_engine_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same engine end-to-end through STRUCTURED STREAMING (readStream ->
+    foreachBatch -> fast-append/MERGE), value-checked against the identical
+    LWW oracle — stream and batch replays must converge to one table."""
+    import os
+
+    from hdata_spark.plans.schema_registry import SchemaRegistry
+    from hdata_spark.sinks.snapshot import SnapshotTable
+    from hdata_spark.streaming.ledger import CommitLedger
+    from hdata_spark.streaming.metrics import MetricsLog
+    from hdata_spark.streaming.stream_replay import stream_replay
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    changes = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.col("event_id").cast("string").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.col("props").alias("content"),
+        F.lit(None).cast("string").alias("sc_kind"),
+        F.lit(None).cast("string").alias("sc_column"),
+        F.lit(None).cast("string").alias("sc_arg"),
+    )
+    d = tempfile.mkdtemp(prefix="hdata_spark_stream_entry_")
+    events_dir = os.path.join(d, "wal")
+    # 4 "WAL segments" -> >=4 checkpointed micro-batches
+    changes.repartition(4).write.parquet(events_dir)
+    table = SnapshotTable(d + "/table", n_buckets=16)
+    stream_replay(
+        spark,
+        events_dir,
+        table,
+        CommitLedger(d + "/ledger"),
+        MetricsLog(d + "/metrics"),
+        SchemaRegistry(state_path=d + "/registry.json"),
+        checkpoint_dir=d + "/ckpt",
+        max_files_per_trigger=1,
+    )
+    final = table.read(spark)
+    return final.select(
+        F.col("repo").cast("bigint").alias("user_id"),
+        F.col("commit").cast("bigint").alias("last_event_id"),
+        F.col("content").alias("last_props"),
+    )
+
+
 _ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_engine_replay": _cdc_engine_replay,
+    "cdc_engine_stream_replay": _cdc_engine_stream_replay,
 }
 
-_ENGINE_ORACLES = {
-    "cdc_engine_replay": """
+_LWW_FINAL_STATE_SQL = """
     SELECT user_id, event_id AS last_event_id, props AS last_props
     FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                        ORDER BY event_id DESC) AS rn
           FROM events)
     WHERE rn = 1 AND event_type <> 'error'
-    """,
+    """
+
+_ENGINE_ORACLES = {
+    "cdc_engine_replay": _LWW_FINAL_STATE_SQL,
+    "cdc_engine_stream_replay": _LWW_FINAL_STATE_SQL,
 }
 
 

@@ -45,11 +45,25 @@ def normalize_lang_col(col: Column) -> Column:
     return case.otherwise(low)
 
 
-@pandas_udf(StringType())
-def normalize_lang_pudf(s: pd.Series) -> pd.Series:
-    """Arrow-vectorized twin of normalize_lang_col (north-star UDF axis)."""
-    low = s.str.strip().str.lower()
-    return low.map(_LANG_MAP).fillna(low)
+def _make_normalize_lang_pudf():
+    """Factory so the UDF body is a `<locals>` function: cloudpickle then
+    serializes it BY VALUE to the Python workers. A module-level UDF pickles
+    by REFERENCE (`hdata_spark.functions.text.<name>`), which breaks the
+    moment the executing cluster's workers lack this package on their
+    PYTHONPATH — exactly the spark-submit --py-files / external-driver
+    situation. The closure captures a plain dict copy, never the module."""
+    lang_map = dict(_LANG_MAP)
+
+    @pandas_udf(StringType())
+    def normalize_lang(s: pd.Series) -> pd.Series:
+        low = s.str.strip().str.lower()
+        return low.map(lang_map).fillna(low)
+
+    return normalize_lang
+
+
+normalize_lang_pudf = _make_normalize_lang_pudf()
+"""Arrow-vectorized twin of normalize_lang_col (north-star UDF axis)."""
 
 
 def sha256_col(col: Column) -> Column:
@@ -57,9 +71,19 @@ def sha256_col(col: Column) -> Column:
     return F.sha2(col.cast("string"), 256)
 
 
-@pandas_udf(StringType())
-def sha256_pudf(s: pd.Series) -> pd.Series:
-    """Arrow-vectorized sha256 — pandas_udf twin for the UDF-axis tests."""
-    return s.map(
-        lambda x: None if x is None else hashlib.sha256(str(x).encode()).hexdigest()
-    )
+def _make_sha256_pudf():
+    """By-value pickling factory — see _make_normalize_lang_pudf."""
+
+    @pandas_udf(StringType())
+    def sha256_hex(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None
+            if x is None
+            else hashlib.sha256(str(x).encode()).hexdigest()
+        )
+
+    return sha256_hex
+
+
+sha256_pudf = _make_sha256_pudf()
+"""Arrow-vectorized sha256 — pandas_udf twin for the UDF-axis tests."""

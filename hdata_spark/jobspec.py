@@ -1,0 +1,404 @@
+"""Job-spec surface: the reference's XML/CLI job model as a typed Python spec.
+
+HData's entire user surface is one (reader config, writer config) pair —
+XML jobs (`bin/hdata -f job.xml`, hdata-core/.../config/DefaultJobConfig.java:82-115),
+CLI jobs (`--reader X -Rk=v --writer Y -Wk=v`, CliDriver.java:132-145), and
+`${var}` substitution from `-D` options (CliDriver.java:73-84). This module
+is that surface rebuilt on Spark: a job spec is a plain dict
+
+    {"reader": {"name": "csv", "path": ..., ...},
+     "writer": {"name": "parquet", "path": ..., ...},
+     "vars": {"day": "20260816"}}
+
+resolved by `run_job(spark, spec)` — reader name -> DataFrame source, writer
+name -> sink action, both from a flat registry (the plugins.xml analog,
+hdata-core/.../core/PluginLoader.java:28-53 — minus the per-plugin
+classloaders, which Python namespacing makes unnecessary).
+
+Readers return DataFrames, so every engine operator (dedup, MERGE, registry
+projection) composes between reader and writer — where the reference could
+only pass records through a ring buffer.
+
+Reader/writer option names follow the reference's conventions
+(`fields.separator`, `start.row`, `null.string`, `schema`, ...) so a user of
+the reference can translate a job 1:1; see each builder's citation.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+_VAR_RE = re.compile(r"\$\{(\w+)\}")
+
+
+def substitute_vars(spec: dict, variables: dict[str, str]) -> dict:
+    """`${var}` substitution in every string value (CliDriver.java:73-84)."""
+
+    def sub(v):
+        if isinstance(v, str):
+            return _VAR_RE.sub(
+                lambda m: str(variables.get(m.group(1), m.group(0))), v
+            )
+        if isinstance(v, dict):
+            return {k: sub(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [sub(x) for x in v]
+        return v
+
+    return sub(spec)
+
+
+def _unescape(sep: str) -> str:
+    """Separator escape sequences `\\t`, `\\n`... (HDFSReader.java:41-42)."""
+    return codecs.decode(sep, "unicode_escape")
+
+
+def _schema_names(cfg: dict) -> list[str] | None:
+    """Comma-split `schema` option — names only, like the reference
+    (hdata-hdfs/.../reader/hdfs/HDFSReader.java:51-57)."""
+    s = cfg.get("schema")
+    return [c.strip() for c in s.split(",")] if s else None
+
+
+# ---------------------------------------------------------------- readers
+
+def _reader_parquet(spark: SparkSession, cfg: dict) -> DataFrame:
+    """Lake-native scan (our engine's home format; Iceberg at cluster scale)."""
+    return spark.read.parquet(*str(cfg["path"]).split(","))
+
+
+def _reader_csv(spark: SparkSession, cfg: dict) -> DataFrame:
+    """CSV scan — reference S10 (hdata-csv/.../reader/csv/CSVReader.java:21-66):
+    `start.row` skip via header flag, comma-separated multi-path."""
+    start_row = int(cfg.get("start.row", 0))
+    reader = (
+        spark.read.option("header", start_row > 0)
+        .option("sep", _unescape(cfg.get("fields.separator", ",")))
+        .option("encoding", cfg.get("encoding", "UTF-8"))
+        .option("inferSchema", str(cfg.get("infer.schema", "false")))
+    )
+    df = reader.csv(str(cfg["path"]).split(","))
+    names = _schema_names(cfg)
+    if names:
+        df = df.toDF(*names)
+    return df
+
+
+def _reader_text(spark: SparkSession, cfg: dict) -> DataFrame:
+    """Delimited text-line scan — reference S4 hdfs reader
+    (hdata-hdfs/.../reader/hdfs/HDFSReader.java:29-106): glob/regex file
+    match, split on `fields.separator` (empty tokens preserved), declared
+    column names; compression is codec-transparent in Spark. Optional
+    `fields.count.filter` drops short rows (FTP reader semantics,
+    hdata-ftp/.../reader/ftp/FTPReader.java:83)."""
+    sep = _unescape(cfg.get("fields.separator", "\t"))
+    raw = spark.read.text(str(cfg["path"]).split(","))
+    parts = F.split(F.col("value"), re.escape(sep), -1)
+    min_fields = int(cfg.get("fields.count.filter", 0))
+    if min_fields:
+        raw = raw.filter(F.size(parts) >= min_fields)
+    names = _schema_names(cfg)
+    if not names:
+        return raw.select(F.col("value").alias("line"))
+    return raw.select(
+        *[parts.getItem(i).alias(n) for i, n in enumerate(names)]
+    )
+
+
+def _reader_jdbc(spark: SparkSession, cfg: dict) -> DataFrame:
+    """Range-partitioned JDBC scan — reference S2
+    (hdata-jdbc/.../reader/jdbc/JDBCReader.java:29-178 + JDBCSplitter.java:40-141).
+    The splitter's MIN/MAX range partitioning maps 1:1 onto Spark's
+    partitionColumn/lowerBound/upperBound/numPartitions; `where` and
+    `columns` push down through the JDBC source. Requires a JDBC driver jar
+    on the classpath (not present in the sandbox — covered by unit tests
+    only at the option-mapping level)."""
+    opts = {
+        "url": cfg["url"],
+        "dbtable": cfg.get("table") or f"({cfg['sql']}) t",
+    }
+    if "split.by" in cfg:
+        opts.update(
+            partitionColumn=cfg["split.by"],
+            lowerBound=str(cfg.get("lower.bound", 0)),
+            upperBound=str(cfg.get("upper.bound", 1 << 31)),
+            numPartitions=str(cfg.get("parallelism", 8)),
+        )
+    df = spark.read.format("jdbc").options(**opts).load()
+    if cfg.get("columns"):
+        df = df.select(*[c.strip() for c in cfg["columns"].split(",")])
+    if cfg.get("exclude.columns"):
+        df = df.drop(*[c.strip() for c in cfg["exclude.columns"].split(",")])
+    if cfg.get("where"):
+        df = df.filter(cfg["where"])
+    return df
+
+
+def _reader_hive(spark: SparkSession, cfg: dict) -> DataFrame:
+    """Catalog table scan — reference S3 (hdata-hive/.../reader/hive/
+    HiveReader.java:26-110): partition-filter + column select become a
+    catalog read with Catalyst partition pruning."""
+    df = spark.table(f"{cfg.get('database', 'default')}.{cfg['table']}")
+    if cfg.get("partitions"):
+        df = df.filter(cfg["partitions"])  # e.g. "day='20140418'"
+    if cfg.get("select.columns"):
+        df = df.select(*[c.strip() for c in cfg["select.columns"].split(",")])
+    return df
+
+
+def _reader_http(spark: SparkSession, cfg: dict) -> DataFrame:
+    """Line stream from a URL — reference S6 (hdata-http/.../reader/http/
+    HttpReader.java:22-63): driver-side fetch (not perf-critical), drops
+    `offset:`-prefixed control lines."""
+    import urllib.request
+
+    lines: list[tuple[str]] = []
+    for url in str(cfg["url"]).split(","):
+        with urllib.request.urlopen(url) as r:  # noqa: S310 (spec-driven)
+            for ln in r.read().decode(cfg.get("encoding", "utf-8")).splitlines():
+                if not ln.startswith("offset:"):
+                    lines.append((ln,))
+    return spark.createDataFrame(lines, "line string")
+
+
+def _reader_kafka(spark: SparkSession, cfg: dict) -> DataFrame:
+    """Bounded topic tail — reference S7 (hdata-kafka/.../reader/kafka/
+    KafkaConsumer.java:37-189): `start.offset`/`max.fetch.size` map to
+    startingOffsets/maxOffsetsPerTrigger. Returns the *streaming* frame;
+    pair with streaming.stream_replay. Kafka broker jars absent in sandbox —
+    option mapping unit-tested only."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("subscribe", cfg["topic"])
+        .option(
+            "startingOffsets",
+            cfg.get("start.offset", "earliest"),
+        )
+    )
+    if cfg.get("max.fetch.size"):
+        reader = reader.option("maxOffsetsPerTrigger", cfg["max.fetch.size"])
+    df = reader.load().selectExpr("CAST(value AS STRING) AS line")
+    names = _schema_names(cfg)
+    if names:
+        sep = re.escape(_unescape(cfg.get("fields.separator", "\t")))
+        parts = F.split(F.col("line"), sep, -1)
+        df = df.select(*[parts.getItem(i).alias(n) for i, n in enumerate(names)])
+    return df
+
+
+def _reader_excel(spark: SparkSession, cfg: dict) -> DataFrame:
+    """Excel sheet scan — reference S11 (hdata-excel/.../reader/
+    ExcelReader.java:27-100): pandas-backed fixture reader (sheet 0,
+    optional header row), all cells as strings."""
+    import pandas as pd
+
+    header = 0 if str(cfg.get("include.column.names", "false")) == "true" else None
+    pdf = pd.read_excel(cfg["path"], sheet_name=0, header=header, dtype=str)
+    if header is None:
+        pdf.columns = [f"c{i}" for i in range(len(pdf.columns))]
+    return spark.createDataFrame(pdf)
+
+
+READERS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
+    "parquet": _reader_parquet,
+    "csv": _reader_csv,
+    "text": _reader_text,
+    "jdbc": _reader_jdbc,
+    "hive": _reader_hive,
+    "http": _reader_http,
+    "kafka": _reader_kafka,
+    "excel": _reader_excel,
+}
+
+
+# ---------------------------------------------------------------- writers
+
+def _null_literal_cols(df: DataFrame, null_string: str) -> list:
+    """Text-sink rendering: null -> literal, timestamps formatted
+    (HDFSWriter.java:173-180; CSVWriter.java:121-127)."""
+    out = []
+    for f_ in df.schema.fields:
+        c = F.col(f_.name)
+        if f_.dataType.typeName() == "timestamp":
+            c = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        out.append(F.coalesce(c.cast("string"), F.lit(null_string)).alias(f_.name))
+    return out
+
+
+def _writer_parquet(df: DataFrame, cfg: dict) -> None:
+    w = df.write.mode(cfg.get("mode", "overwrite"))
+    if cfg.get("partition.by"):
+        w = w.partitionBy(*[c.strip() for c in cfg["partition.by"].split(",")])
+    if cfg.get("max.records.per.file"):
+        w = w.option("maxRecordsPerFile", int(cfg["max.records.per.file"]))
+    w.parquet(cfg["path"])
+
+
+def _writer_csv(df: DataFrame, cfg: dict) -> None:
+    """CSV sink — reference K9 (hdata-csv/.../writer/csv/CSVWriter.java:28-157)."""
+    df = df.select(_null_literal_cols(df, cfg.get("null.string", "NULL")))
+    (
+        df.write.mode(cfg.get("mode", "overwrite"))
+        .option("header", str(cfg.get("include.column.names", "true")))
+        .option("sep", _unescape(cfg.get("fields.separator", ",")))
+        .csv(cfg["path"])
+    )
+
+
+def _writer_text(df: DataFrame, cfg: dict) -> None:
+    """Delimited text sink — reference K4 (hdata-hdfs/.../writer/hdfs/
+    HDFSWriter.java:28-208): separator join, null literal, date-column
+    partitioning (`partition.date.*` -> partitionBy of a derived yyyyMMdd
+    column), size rolling via maxRecordsPerFile."""
+    sep = _unescape(cfg.get("fields.separator", "\t"))
+    rendered = df.select(_null_literal_cols(df, cfg.get("null.string", "NULL")))
+    date_col = cfg.get("partition.date.column")
+    line = F.concat_ws(sep, *[F.col(f) for f in rendered.columns]).alias("value")
+    w_mode = cfg.get("mode", "overwrite")
+    if date_col:
+        fmt = cfg.get("partition.date.format", "yyyy-MM-dd")
+        part = F.date_format(F.to_date(F.col(date_col), fmt), "yyyyMMdd").alias(
+            "_day"
+        )
+        out = rendered.select(line, part)
+        w = out.write.mode(w_mode).partitionBy("_day")
+    else:
+        out = rendered.select(line)
+        w = out.write.mode(w_mode)
+    if cfg.get("max.records.per.file"):
+        w = w.option("maxRecordsPerFile", int(cfg["max.records.per.file"]))
+    w.text(cfg["path"])
+
+
+def _writer_console(df: DataFrame, cfg: dict) -> None:
+    """Console sink — reference K1 (hdata-console/.../writer/console/
+    ConsoleWriter.java:10-32), timestamps formatted."""
+    df.select(_null_literal_cols(df, "NULL")).show(
+        int(cfg.get("limit", 20)), truncate=False
+    )
+
+
+def _writer_jdbc(df: DataFrame, cfg: dict) -> None:
+    """JDBC batch insert — reference K2 (hdata-jdbc/.../writer/jdbc/
+    JDBCWriter.java:29-201): batchsize maps to `batch.insert.size`. The
+    upsert arm (ON DUPLICATE KEY UPDATE, :128-145) is served by the snapshot
+    sink's MERGE instead (`writer.name=snapshot`)."""
+    (
+        df.write.mode(cfg.get("mode", "append"))
+        .option("batchsize", int(cfg.get("batch.insert.size", 10000)))
+        .jdbc(cfg["url"], cfg["table"])
+    )
+
+
+def _writer_kafka(df: DataFrame, cfg: dict) -> None:
+    """Kafka sink — reference K6 (hdata-kafka/.../writer/kafka/
+    KafkaWriter.java:16-54): fields separator-joined into value (also used
+    as key, matching the reference)."""
+    sep = _unescape(cfg.get("fields.separator", "\t"))
+    joined = df.select(
+        F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns]).alias(
+            "value"
+        )
+    ).withColumn("key", F.col("value"))
+    (
+        joined.write.format("kafka")
+        .option("kafka.bootstrap.servers", cfg["brokers"])
+        .option("topic", cfg["topic"])
+        .save()
+    )
+
+
+def _writer_snapshot(df: DataFrame, cfg: dict) -> None:
+    """Keyed MERGE upsert into the engine's snapshot table — the reference's
+    upsert path (JDBCWriter.java:128-145) upgraded to exactly-once
+    (sinks/snapshot.py). `upsert.columns` names the key."""
+    from hdata_spark.sinks.snapshot import SnapshotTable
+
+    keys = [
+        c.strip()
+        for c in cfg.get("upsert.columns", "repo,path").split(",")
+    ]
+    table = SnapshotTable(
+        cfg["path"], keys=keys, n_buckets=int(cfg.get("buckets", 64))
+    )
+    lsn_col = cfg.get("lsn.column")
+    spark = df.sparkSession
+    if "op" not in df.columns:
+        df = df.withColumn("op", F.lit("insert"))
+    if "lsn" not in df.columns:
+        df = df.withColumn(
+            "lsn", F.col(lsn_col).cast("long") if lsn_col else F.lit(0).cast("long")
+        )
+    table.merge(spark, df)
+
+
+def _writer_excel(df: DataFrame, cfg: dict) -> None:
+    """Excel sink — reference K10 (hdata-excel/.../writer/ExcelWriter.java:23-82):
+    collected pandas write, all cells as strings; fixture-scale only."""
+    pdf = df.toPandas().astype(str)
+    pdf.to_excel(
+        cfg["path"],
+        index=False,
+        header=str(cfg.get("include.column.names", "true")) == "true",
+    )
+
+
+WRITERS: dict[str, Callable[[DataFrame, dict], None]] = {
+    "parquet": _writer_parquet,
+    "csv": _writer_csv,
+    "text": _writer_text,
+    "console": _writer_console,
+    "jdbc": _writer_jdbc,
+    "kafka": _writer_kafka,
+    "snapshot": _writer_snapshot,
+    "excel": _writer_excel,
+}
+
+
+# ---------------------------------------------------------------- runner
+
+def read_source(spark: SparkSession, cfg: dict) -> DataFrame:
+    name = cfg.get("name")
+    if name not in READERS:
+        raise ValueError(f"unknown reader {name!r}; have {sorted(READERS)}")
+    return READERS[name](spark, cfg)
+
+
+def write_sink(df: DataFrame, cfg: dict) -> None:
+    name = cfg.get("name")
+    if name not in WRITERS:
+        raise ValueError(f"unknown writer {name!r}; have {sorted(WRITERS)}")
+    WRITERS[name](df, cfg)
+
+
+def run_job(
+    spark: SparkSession,
+    spec: dict,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> dict:
+    """Execute one (reader -> [transform] -> writer) job.
+
+    The EP1/EP2 lifecycle (SURVEY §3) minus the ring buffer: the reader
+    builds a DataFrame plan, the optional transform composes engine
+    operators, the writer executes it. Read/write counts are observed
+    through the plan (`df.observe`), replacing the reference's AtomicLong
+    metric (hdata-api/.../api/Metric.java:5-78).
+    """
+    from pyspark.sql import Observation
+
+    spec = substitute_vars(spec, spec.get("vars", {}))
+    df = read_source(spark, spec["reader"])
+    if transform is not None:
+        df = transform(df)
+    obs = Observation("job_metrics")
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    write_sink(df, spec["writer"])
+    rows = obs.get.get("rows", 0) if spec["writer"]["name"] != "kafka" else None
+    return {"rows_written": rows}

@@ -42,12 +42,34 @@ def lww_latest(
     df: DataFrame,
     keys: Sequence[str] = ("repo", "path"),
     order_col: str = "lsn",
+    order_unique: bool = True,
 ) -> DataFrame:
     """Keep the max-`order_col` row per key; columns preserved in order.
 
-    Plan: HashAggregate(max(order)) over a slim projection + shuffle-hash
-    LEFT SEMI join back — no SortAggregate fallback (see module docstring).
+    Plan: HashAggregate(max(order)) over a slim projection + LEFT SEMI join
+    back — no SortAggregate fallback (see module docstring).
+
+    With ``order_unique=True`` (LSNs are a global sequence) the join key is
+    `order_col` ALONE: the winners side shrinks to one long per key, so AQE
+    turns the semi join into a **broadcast** after it sees the aggregated
+    size — and the full-width event stream is never shuffled at all. This is
+    the difference between moving ~70 B/key and moving every event's payload
+    through the exchange; it is what lets dedup throughput scale with cores
+    instead of with memory bandwidth. When winners outgrow the broadcast
+    threshold (10^10-scale runs), AQE falls back to a shuffle join on the
+    8-byte key — still payload-free on the build side.
+
+    Set ``order_unique=False`` if `order_col` is only per-key unique; the
+    join then matches on (keys..., order) with a shuffle_hash hint.
     """
+    if order_unique:
+        winners = (
+            df.select(*keys, order_col)
+            .groupBy(*keys)
+            .agg(F.max(order_col).alias(order_col))
+            .select(order_col)
+        )
+        return df.join(winners, on=order_col, how="left_semi").select(*df.columns)
     winners = df.select(*keys, order_col).groupBy(*keys).agg(
         F.max(order_col).alias(order_col)
     )

@@ -1,0 +1,192 @@
+"""Embedding similarity search: brute-force cosine, IVF cells, LSH buckets.
+
+Built entirely from JVM higher-order array functions (``zip_with`` +
+``aggregate`` dot products inside codegen) — no Python per row, no UDF. The
+three tiers trade recall for scan cost:
+
+- ``cosine_topk``       : exact, query-side broadcast, O(n * q) — the baseline;
+- ``ivf_assign/search`` : IVF — partition vectors into K cells by nearest
+  centroid; queries scan ONE cell (~n/K of the data). At 100 TB the cell id
+  becomes the table's partition key, so a query prunes to one partition;
+- ``hyperplane_lsh_*``  : random-hyperplane signatures (hyperplanes = the
+  first P data vectors, deterministic and engine-portable); near-dup pairs
+  join on equal signature — a bucketed equi-join, never n^2.
+
+Centroids/hyperplanes derived from leading vec_ids stand in for a k-means
+fit: the *query shapes* (assign, prune, bucket-join) are what carries to the
+real fit, and determinism is what makes the DuckDB oracles exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product (bit-matches DuckDB list ops)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact top-k by cosine per query; queries broadcast (small side)."""
+    sims = (
+        vectors.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(query_vec_col), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest 'centroid' (= first n_cells vectors).
+
+    One broadcast cross join + per-vector argmax — the IVF build step. At
+    cluster scale the output is written partitioned by `cell`, making search
+    a partition-pruned scan.
+    """
+    centroids = vectors.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+    )
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "cell",
+        F.round(cosine(F.col(vec_col), F.col("cv")), 9).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def ivf_search(
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN search: scan only the query's own cell, exact top-k inside it.
+
+    `queries` must carry (query_id, qv, cell). The probe is an equi-join on
+    `cell` — partition pruning at scale, bucketed shuffle here.
+    """
+    cands = assigned.join(
+        F.broadcast(queries), on="cell"
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        "cell",
+        F.round(cosine(F.col("qv"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def hyperplane_signature(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-of-projection LSH signature (hyperplanes = first n_planes vectors).
+
+    sig = sum_p 2^p * [dot(v, plane_p) > 0] — an integer bucket key. Cosine-
+    similar vectors agree on most sign bits, so near-dups collide with high
+    probability; collisions are verified exactly afterwards.
+    """
+    planes = vectors.filter(F.col(id_col) < n_planes).select(
+        F.col(id_col).alias("plane"), F.col(vec_col).alias("pv")
+    )
+    bits = (
+        vectors.crossJoin(F.broadcast(planes))
+        .select(
+            id_col,
+            vec_col,
+            "plane",
+            F.when(dot(F.col(vec_col), F.col("pv")) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.expr("bit * CAST(pow(2, plane) AS BIGINT)")).alias("sig"),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
+    return bits
+
+
+def lsh_near_dup_pairs(
+    vectors: DataFrame,
+    min_cosine: float = 0.3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs: equal LSH signature AND exact cosine >= threshold.
+
+    The candidate join is keyed on `sig` (256 buckets here) — per-bucket
+    quadratic, globally near-linear. Exact cosine filters false collisions.
+    """
+    sig = hyperplane_signature(vectors, n_planes, id_col, vec_col)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col("a.sig").alias("sig"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,309 @@
+"""Document deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference has no dedup (single-source pass-through mover); these are the
+operators a training-data pipeline layers on top of the same engine. Design
+rules that make them survive 100 TB:
+
+- everything is JVM-side higher-order functions (``transform`` / ``filter`` /
+  ``aggregate`` over arrays) inside whole-stage codegen — no Python in the
+  per-row path;
+- candidate generation is always a *bucketed equi-join* (LSH band hash /
+  simhash chunk), never an all-pairs cross join: the shuffle is keyed by
+  bucket, so the cost is sum over buckets of |bucket|^2, not n^2;
+- hash functions are engine-portable (md5 hex strings), so every operator has
+  a bit-identical DuckDB oracle.
+
+MinHash here uses the lexicographic MIN of ``md5(perm || ':' || shingle)``
+hex digests as the per-permutation signature: md5 is uniform on hex strings,
+so the lexicographic min over a set is a valid min-wise hash (same collision
+probability ~ Jaccard similarity as integer minhash), while staying exactly
+reproducible in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PERMS = 8        # minhash permutations
+LSH_BANDS = 4      # bands of N_PERMS // LSH_BANDS rows each
+SIMHASH_BITS = 32  # simhash width (8 md5 hex chars)
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), " ")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingle array (order-preserving, with duplicates)."""
+    toks = tokens_col(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+
+
+def minhash_col(shingles: Column, perm: int) -> Column:
+    """Min-wise hash for one permutation: min md5('{perm}:' || shingle)."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{perm}:"), s)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, mh0..mh{N_PERMS-1}) for docs with >= 3 tokens (one scan, no shuffle).
+
+    Docs shorter than one shingle are dropped BEFORE shingling (ANSI mode:
+    `sequence(0, negative)` would descend through index 0).
+    """
+    sh = df.filter(F.size(tokens_col(F.col(text_col))) >= 3).select(
+        id_col, word_shingles(F.col(text_col)).alias("shingles")
+    )
+    return sh.select(
+        id_col,
+        *[minhash_col(F.col("shingles"), p).alias(f"mh{p}") for p in range(N_PERMS)],
+    )
+
+
+def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode signatures into (id, band_idx, band_sig) — the LSH bucket key."""
+    r = N_PERMS // LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])
+                ).alias("band_sig"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select(id_col, F.explode(bands).alias("band")).select(
+        id_col, F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_sig").alias("band_sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing >= 1 LSH band bucket.
+
+    The join is keyed on (band_idx, band_sig) — a uniform hash key — so the
+    shuffle partitions by bucket and never materializes the n^2 pair space.
+    Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
+    """
+    bands = lsh_bands(minhash_signatures(df, text_col, id_col), id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash per doc from token md5s (explode -> 32 signed sums).
+
+    Bit b of the hash is 1 iff the sum over tokens of (+1 if bit b of
+    md5(token) set else -1) is positive. The whole computation is one
+    explode + one hash aggregate (map-side combinable) — linear shuffle.
+    """
+    tok = df.select(
+        id_col, F.explode(tokens_col(F.col(text_col))).alias("tk")
+    )
+    h = tok.select(id_col, F.substring(F.md5("tk"), 1, 8).alias("h"))
+    sums = [
+        F.expr(
+            f"sum(CASE WHEN ((instr('{_HEX}', substr(h,{b // 4 + 1},1))-1)"
+            f" div {2 ** (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = h.groupBy(id_col).agg(*sums)
+    recon = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b}L ELSE 0L END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return agg.select(id_col, F.expr(f"CAST({recon} AS BIGINT)").alias("simhash"))
+
+
+def simhash_sql_exprs() -> tuple[str, str]:
+    """(select-list, reconstruction) SQL fragments shared with the oracle."""
+    sel = ", ".join(
+        f"sum(CASE WHEN ((strpos('{_HEX}', substr(h,{b // 4 + 1},1))-1)"
+        f" // {2 ** (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return sel, recon
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with simhash Hamming distance <= max_hamming.
+
+    Candidate generation: split the 32-bit hash into 4 byte-chunks and join
+    on chunk equality — by pigeonhole any pair within Hamming distance 6 of a
+    4-chunk split shares at least one exact chunk when distance < 4... (the
+    standard guarantee is distance <= chunks-1 = 3; wider radii trade recall).
+    Here we keep ALL chunk-collision candidates and filter exactly, so the
+    result is exact for distance <= 3 and high-recall above; the oracle uses
+    the same candidate rule, keeping both sides identical.
+    """
+    sh = simhash_df(df, text_col, id_col)
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.expr(f"(simhash div {2 ** (8 * c)}) % 256").alias(
+                            "chunk_val"
+                        ),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(
+        id_col, "simhash",
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.chunk_val").alias("chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------- n-gram jaccard
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-gram set of a string."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (n - 1)),
+            lambda i: text.substr(i, F.lit(n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    min_jaccard: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over distinct char n-grams for all id pairs in `df`.
+
+    All-pairs by construction — the caller bounds the candidate set (e.g. an
+    LSH prefilter, or a small doc subset); at scale this runs AFTER
+    minhash_lsh_candidates as the exact re-rank stage.
+    """
+    g = df.filter(F.length(F.col(text_col)) >= n).select(
+        id_col, char_ngrams(F.col(text_col), n).alias("grams")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("a.grams", "b.grams"))
+                / F.size(F.array_union("a.grams", "b.grams")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ---------------------------------------------------------------- language id
+
+# Tiny function-word lexicons; deterministic tiebreak order en > de > es > fr.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "for", "that", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit"),
+    "es": ("el", "la", "de", "que", "y", "en", "es", "un", "por", "con"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans", "pour"),
+}
+
+
+def lang_id_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-hit language scores + argmax prediction (CASE tiebreak).
+
+    N-gram-free heuristic language ID: per-language function-word hit counts
+    over the token array (JVM `filter` + `array_contains`, zero shuffle),
+    prediction = argmax with fixed priority en > de > es > fr on ties.
+    """
+    toks = tokens_col(F.col(text_col))
+    score_cols = {}
+    for lang, lex in LANG_LEXICONS.items():
+        lex_arr = F.array(*[F.lit(w) for w in lex])
+        score_cols[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(lex_arr, t))
+        ).cast("long")
+    s = df.select(
+        id_col, *[c.alias(f"s_{lang}") for lang, c in score_cols.items()]
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")),
+            F.lit("de"),
+        )
+        .when(F.col("s_es") >= F.col("s_fr"), F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return s.withColumn("lang_pred", pred)

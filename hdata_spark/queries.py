@@ -214,6 +214,30 @@ def cdc_partition_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_salted_hot_key_agg",
+    """
+    SELECT user_id AS repo_key, count(*) AS n_events, max(event_id) AS max_lsn
+    FROM events GROUP BY user_id
+    """,
+)
+def cdc_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for hot keys: partial agg on
+    (key, salt) spreads a skewed key over 16 tasks, then a re-agg by key
+    collapses the partials. The oracle is the UNSALTED GROUP BY — value
+    equality IS the correctness proof that salting never changes results
+    (SURVEY §7.5.2). Salt is deterministic: pmod(xxhash64(event_id), 16).
+    """
+    ev = load(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count("*").alias("pn"), F.max("event_id").alias("pmax")
+    )
+    return partial.groupBy(F.col("user_id").alias("repo_key")).agg(
+        F.sum("pn").alias("n_events"), F.max("pmax").alias("max_lsn")
+    )
+
+
+@query(
     "window_topk_per_key",
     """
     SELECT user_id, event_id, event_type, rn
@@ -362,6 +386,37 @@ def ref_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         u = u.unionByName(s)
     return u.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum")
+    )
+
+
+@query(
+    "ref_kafka_offset_tail",
+    """
+    WITH b AS (SELECT max(event_id) // 2 AS start_offset FROM events)
+    SELECT event_id, user_id, event_type
+    FROM events, b
+    WHERE event_id >= start_offset
+    ORDER BY event_id
+    LIMIT 1000
+    """,
+)
+def ref_kafka_offset_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded log tail: consume from `start.offset`, at most `max.fetch.size`
+    messages, in offset order.
+
+    Reference: hdata-kafka/.../reader/kafka/KafkaConsumer.java:85-97 (seek to
+    start.offset) and :78,100-131 (max.fetch.size bound). Spark equivalent of
+    `startingOffsets` + `maxOffsetsPerTrigger`; deterministic because the
+    offset (event_id) is a unique total order.
+    """
+    ev = load(spark, sf_dir, "events")
+    start = ev.agg(F.floor(F.max("event_id") / 2).cast("long").alias("start_offset"))
+    return (
+        ev.crossJoin(F.broadcast(start))
+        .filter(F.col("event_id") >= F.col("start_offset"))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .limit(1000)
     )
 
 
@@ -670,6 +725,187 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# doc_* dedup family — MinHash+LSH, SimHash, n-gram Jaccard, lang-ID
+# =====================================================================
+
+_MINHASH_SIG_SQL = """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)] AS shingles
+           FROM t WHERE len(toks) >= 3),
+    sig AS (SELECT doc_id,
+"""
+_MINHASH_SIG_SQL += ",\n".join(
+    f"        list_min([md5('{p}:' || s) for s in shingles]) AS mh{p}"
+    for p in range(8)
+) + "\n        FROM sh)"
+
+
+@query(
+    "doc_dedup_minhash_lsh",
+    _MINHASH_SIG_SQL
+    + """,
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 3-word shingles -> 8 min-hashes ->
+    4 bands -> bucket equi-join (never n^2; shuffle keyed by band bucket)."""
+    from hdata_spark.operators.text_dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(load(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    from hdata_spark.operators.text_dedup import simhash_sql_exprs
+
+    sel, recon = simhash_sql_exprs()
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tk
+                 FROM documents),
+    h AS (SELECT doc_id, substr(md5(tk), 1, 8) AS h FROM tok),
+    agg AS (SELECT doc_id, {sel} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM agg
+    """
+
+
+@query("doc_simhash", _simhash_oracle())
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (explode + one map-side-combinable agg)."""
+    from hdata_spark.operators.text_dedup import simhash_df
+
+    return simhash_df(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_dedup_simhash_pairs",
+    f"""
+    WITH sig AS ({_simhash_oracle()}),
+    chunks AS (
+        SELECT doc_id, simhash, 0 AS chunk_idx, simhash % 256 AS chunk_val FROM sig
+        UNION ALL SELECT doc_id, simhash, 1, (simhash // 256) % 256 FROM sig
+        UNION ALL SELECT doc_id, simhash, 2, (simhash // 65536) % 256 FROM sig
+        UNION ALL SELECT doc_id, simhash, 3, (simhash // 16777216) % 256 FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def doc_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-chunk bucket join + exact Hamming filter."""
+    from hdata_spark.operators.text_dedup import simhash_near_pairs
+
+    return simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=6)
+
+
+@query(
+    "doc_dedup_ngram_jaccard",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct([substr(text, i, 3)
+                              for i in range(1, length(text) - 1)]) AS grams
+        FROM documents WHERE doc_id < 150 AND length(text) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                 len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.5
+    """,
+)
+def doc_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard >= 0.5 over a bounded candidate set.
+
+    The exact re-rank stage that runs AFTER minhash_lsh_candidates at scale;
+    bounded here to doc_id < 150 so the oracle stays cheap.
+    """
+    from hdata_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(d, min_jaccard=0.5)
+
+
+def _langid_oracle() -> str:
+    from hdata_spark.operators.text_dedup import LANG_LEXICONS
+
+    score = ", ".join(
+        f"len(list_filter(toks, w -> w IN {tuple(lex)!r})) AS s_{lang}"
+        for lang, lex in LANG_LEXICONS.items()
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, {score} FROM t)
+    SELECT doc_id, s_en, s_de, s_es, s_fr,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """
+
+
+@query("doc_lang_id", _langid_oracle())
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: function-word hit counts + deterministic argmax."""
+    from hdata_spark.operators.text_dedup import lang_id_scores
+
+    return lang_id_scores(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_sha256",
+    "SELECT doc_id, sha256(text) AS sha FROM documents",
+)
+def doc_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content sha256 via the Arrow-vectorized pandas_udf (north-star UDF),
+    value-checked against DuckDB's native sha256 — proves the vectorized
+    Python path is bit-identical to the JVM/native one."""
+    from hdata_spark.functions.text import sha256_pudf
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", sha256_pudf(F.col("text")).alias("sha"))
+
+
+@query(
+    "media_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           lower(substr(hex(encode(text)), 1, 8)) AS magic_hex,
+           ascii(substr(text, 1, 1)) AS sample_b0,
+           ascii(substr(text, octet_length(encode(text)) // 4 + 1, 1)) AS sample_b1,
+           ascii(substr(text, octet_length(encode(text)) // 2 + 1, 1)) AS sample_b2,
+           ascii(substr(text, 3 * octet_length(encode(text)) // 4 + 1, 1)) AS sample_b3
+    FROM documents
+    """,
+)
+def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing: mapInPandas metadata extraction over a
+    binary payload column (deterministic fake payload = utf-8 of text; the
+    decode step proper is stubbed — operators/multimodal.py)."""
+    from hdata_spark.operators.multimodal import media_metadata, with_payload_from_text
+
+    d = with_payload_from_text(load(spark, sf_dir, "documents"))
+    return media_metadata(d)
+
+
+# =====================================================================
 # emb_* — embedding similarity
 # =====================================================================
 
@@ -756,6 +992,128 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .drop("rn")
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine fragment matching operators.similarity.cosine exactly."""
+    return (
+        f"list_sum([{a}[i]::DOUBLE * {b}[i]::DOUBLE"
+        f" for i in range(1, len({a}) + 1)])"
+        f" / (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in {a}]))"
+        f" * sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in {b}])))"
+    )
+
+
+@query(
+    "emb_ivf_ann",
+    f"""
+    WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+               WHERE vec_id < 16),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_cos_sql("e.embedding", "c.cv")}, 9) DESC,
+                                c.cell ASC) AS rn
+            FROM embeddings e, c)
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, cell
+          FROM assigned WHERE vec_id < 5),
+    cand AS (
+        SELECT q.query_id, a.vec_id, a.cell,
+               round({_cos_sql("q.qv", "a.embedding")}, 6) AS cosine
+        FROM assigned a JOIN q ON a.cell = q.cell
+        WHERE a.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cell, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM cand)
+    WHERE rn <= 5
+    """,
+)
+def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign vectors to nearest-centroid cells, search only
+    the query's cell (partition-pruned scan at cluster scale). Centroids =
+    first 16 vectors — a deterministic stand-in for a k-means fit; the query
+    shape (assign, prune, in-cell top-k) is the scale path."""
+    from hdata_spark.operators.similarity import ivf_assign, ivf_search
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(e, n_cells=16)
+    q = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell"
+    )
+    return ivf_search(assigned, q, k=5)
+
+
+@query(
+    "emb_near_dup_lsh",
+    f"""
+    WITH p AS (SELECT vec_id AS plane, embedding AS pv FROM embeddings
+               WHERE vec_id < 8),
+    bits AS (
+        SELECT e.vec_id, p.plane,
+               CASE WHEN list_sum([e.embedding[i]::DOUBLE * p.pv[i]::DOUBLE
+                                   for i in range(1, len(e.embedding) + 1)]) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM embeddings e, p),
+    sig AS (SELECT vec_id,
+                   sum(bit * CAST(pow(2, plane) AS BIGINT)) AS sig
+            FROM bits GROUP BY vec_id),
+    sv AS (SELECT s.vec_id, s.sig, e.embedding
+           FROM sig s JOIN embeddings e USING (vec_id))
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.sig AS sig,
+           round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cosine
+    FROM sv a JOIN sv b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE round({_cos_sql("a.embedding", "b.embedding")}, 6) >= 0.3
+    """,
+)
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane LSH signature bucket join
+    (planes = first 8 vectors, deterministic) + exact cosine >= 0.3 verify.
+    The candidate join is keyed on the 256-bucket signature — per-bucket
+    quadratic, globally near-linear."""
+    from hdata_spark.operators.similarity import lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), min_cosine=0.3, n_planes=8
+    )
+
+
+@query(
+    "cdc_resume_anti_join",
+    """
+    WITH ev AS (SELECT *, event_id // 100 AS epoch FROM events),
+    ledger AS (SELECT DISTINCT epoch FROM ev
+               WHERE epoch <= (SELECT max(event_id) // 100 FROM events) // 2)
+    SELECT epoch, count(*) AS n_events, max(event_id) AS max_lsn
+    FROM ev
+    WHERE NOT EXISTS (SELECT 1 FROM ledger l WHERE l.epoch = ev.epoch)
+    GROUP BY epoch
+    """,
+)
+def cdc_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-from-checkpoint gating: LEFT ANTI join of the event log against
+    the committed-epoch ledger — only uncommitted epochs survive (the replay
+    loop's exactly-once fast path; ledger side is broadcast at scale)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "epoch", (F.col("event_id") / 100).cast("long")
+    )
+    half = ev.agg(
+        (F.floor(F.max("event_id") / 100) / 2).cast("long").alias("h")
+    )
+    ledger = (
+        ev.crossJoin(F.broadcast(half))
+        .filter(F.col("epoch") <= F.col("h"))
+        .select("epoch")
+        .distinct()
+    )
+    return (
+        ev.join(F.broadcast(ledger), "epoch", "left_anti")
+        .groupBy("epoch")
+        .agg(F.count("*").alias("n_events"), F.max("event_id").alias("max_lsn"))
     )
 
 

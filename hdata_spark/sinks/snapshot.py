@@ -42,6 +42,7 @@ import os
 import shutil
 import uuid
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,6 +56,25 @@ BASE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 # verification invariant). Stored so change detection / audits never rescan
 # content.
 DERIVED_COLUMNS = ["content_sha256"]
+
+
+@contextmanager
+def _no_aqe(spark: SparkSession):
+    """Run a block with AQE off.
+
+    The per-epoch MERGE is a small fixed-shape job (bounded by live keys,
+    not by events); AQE's per-stage materialize-and-replan adds latency on
+    every one of its 3 exchanges and can never improve a plan whose sizes we
+    already know. An incremental pipeline runs thousands of these commits —
+    constant per-commit overhead is the part of the cost model that does NOT
+    amortize at scale, so it is the part to strip.
+    """
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def _default_schema() -> list[dict]:
@@ -97,10 +117,20 @@ class SnapshotTable:
 
     def _read_manifest(self, version: int) -> dict:
         if version == 0:
-            return {"buckets": {}, "schema": _default_schema()}
+            spec = _default_schema()
+            return {
+                "buckets": {},
+                "schema": spec,
+                "gen": 0,
+                "gen_specs": {"0": spec},
+                "file_gens": {},
+            }
         with open(self._manifest_path(version)) as f:
             m = json.load(f)
         m.setdefault("schema", _default_schema())
+        m.setdefault("gen", 0)
+        m.setdefault("gen_specs", {"0": m["schema"]})
+        m.setdefault("file_gens", {})
         return m
 
     def _commit(self, version: int, manifest: dict) -> None:
@@ -158,29 +188,55 @@ class SnapshotTable:
         files = [f for fs in files_by_bucket.values() for f in fs]
         if not files:
             return self._empty(spark, spec)
-        reader = spark.read
-        if m.get("evolved"):
-            # Only pay the all-footers schema merge once files can disagree.
-            reader = reader.option("mergeSchema", "true")
-        raw = reader.parquet(*[os.path.join(self.root, f) for f in files])
-        present = set(raw.columns)
-        cols = []
-        for c in spec:
-            sources = [s for s in c["sources"] if s in present]
-            if not sources:
-                cols.append(F.lit(None).cast(c["type"]).alias(c["name"]))
-            elif len(sources) == 1:
-                cols.append(F.col(sources[0]).cast(c["type"]).alias(c["name"]))
-            else:
-                cols.append(
-                    F.coalesce(*[F.col(s) for s in sources]).cast(c["type"]).alias(c["name"])
-                )
+        # Files are grouped by schema GENERATION (bumped on every
+        # evolve_schema — the parquet-fallback analog of Iceberg's per-file
+        # schema id). Each generation shares one physical schema, is read
+        # without any footer merging, and is projected to the CURRENT
+        # logical schema (rename lineage via `sources` coalesce, widen via
+        # cast); generations then union. This is what makes add/rename/widen
+        # metadata-only: old files are never rewritten, just re-projected —
+        # and type-widened generations can coexist (parquet mergeSchema
+        # cannot merge an int32 file with an int64 one).
+        file_gens = m["file_gens"]
+        by_gen: dict[int, list[str]] = {}
+        for f in files:
+            by_gen.setdefault(int(file_gens.get(f, 0)), []).append(f)
+        frames = []
+        for _g, fs in sorted(by_gen.items()):
+            raw = spark.read.parquet(*[os.path.join(self.root, f) for f in fs])
+            present = set(raw.columns)
+            cols = []
+            for c in spec:
+                sources = [s for s in c["sources"] if s in present]
+                if not sources:
+                    cols.append(F.lit(None).cast(c["type"]).alias(c["name"]))
+                elif len(sources) == 1:
+                    cols.append(F.col(sources[0]).cast(c["type"]).alias(c["name"]))
+                else:
+                    cols.append(
+                        F.coalesce(*[F.col(s) for s in sources])
+                        .cast(c["type"])
+                        .alias(c["name"])
+                    )
+            frames.append(raw.select(*cols, F.col("_lsn"), F.col("_op")))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
         # `bucket` is directory-encoded at write time (partitionBy) and a pure
         # function of the keys, so recompute it instead of relying on
         # partition discovery over explicit file paths.
-        return raw.select(*cols, F.col("_lsn"), F.col("_op")).withColumn(
-            "bucket", self._bucket_expr()
-        )
+        out = out.withColumn("bucket", self._bucket_expr())
+        if m.get("has_deltas"):
+            # Merge-on-read resolution: fast-append commits leave multiple
+            # versions of a key across base + delta files; the highest-LSN
+            # row wins at read time (row_number, not a semi join — re-applied
+            # epochs can duplicate an exact (key, lsn) row and exactly one
+            # copy must survive). This is the MOR read-amplification trade:
+            # reads pay one keyed shuffle until `compact()` folds the deltas.
+            from hdata_spark.operators.dedup import lww_latest_window
+
+            out = lww_latest_window(out, keys=self.keys, order_col="_lsn")
+        return out
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Public final-state view: tombstones filtered, internals dropped."""
@@ -221,8 +277,11 @@ class SnapshotTable:
         """
         version = self.current_version()
         manifest = self._read_manifest(version)
+        if affected is not None and not list(affected):
+            # Empty batch: version-bump-only commit (keeps epoch lineage).
+            self._commit(version + 1, manifest)
+            return {"version": version + 1, "applied_buckets": 0, "buckets": []}
         spec = manifest["schema"]
-        m_evolved = bool(manifest.get("evolved"))
         logical = [c["name"] for c in spec]
 
         # Tolerate batches missing trailing logical columns (e.g. hand-built
@@ -305,18 +364,23 @@ class SnapshotTable:
         # Copy-on-write: rewrite ONLY affected buckets as a new file set.
         out_rel = os.path.join("data", f"v{version + 1:08d}-{uuid.uuid4().hex[:8]}")
         out_abs = os.path.join(self.root, out_rel)
-        (
-            # one task per affected bucket: write parallelism tracks the merge
-            # width, and each bucket lands as a single file
-            survivors.repartition(len(affected), F.col("bucket"))
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(out_abs)
-        )
+        with _no_aqe(spark):
+            (
+                # one task per affected bucket: write parallelism tracks the
+                # merge width, and each bucket lands as a single file
+                survivors.repartition(len(affected), F.col("bucket"))
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(out_abs)
+            )
 
         new_buckets = dict(manifest["buckets"])
+        file_gens = dict(manifest["file_gens"])
+        gen = int(manifest["gen"])
         written = 0
         for b in affected:
+            for old in new_buckets.get(str(b), []):
+                file_gens.pop(old, None)
             bdir = os.path.join(out_abs, f"bucket={b}")
             if os.path.isdir(bdir):
                 fs = [
@@ -327,17 +391,58 @@ class SnapshotTable:
             else:
                 fs = []  # bucket fully deleted
             new_buckets[str(b)] = fs
+            for f in fs:
+                file_gens[f] = gen
             written += len(fs)
-        self._commit(
-            version + 1,
-            {"buckets": new_buckets, "schema": spec, "evolved": m_evolved},
-        )
+        manifest.update(buckets=new_buckets, file_gens=file_gens, schema=spec)
+        self._commit(version + 1, manifest)
         return {
             "version": version + 1,
             "buckets": affected,
             "applied_buckets": len(affected),
             "files_written": written,
         }
+
+    def register_deltas(self, files_by_bucket: dict[int, list[str]]) -> dict:
+        """Fast-append commit (merge-on-read): register already-written delta
+        files as part of their buckets — a METADATA-ONLY snapshot commit, no
+        Spark job, no read of stored data.
+
+        This is Iceberg's fast-append / Hudi's MOR ingest path: the replay
+        loop writes one epoch-and-bucket-partitioned file set for a whole
+        run, then commits each epoch as a manifest append in strict epoch
+        order (milliseconds each, driver-side). Per-epoch commit cost becomes
+        O(1) in table size — the term that does NOT amortize at 10^10 events
+        is gone. Readers resolve key versions by stored LSN (read_internal);
+        `compact()` folds deltas back to one row per key.
+
+        `files_by_bucket`: {bucket: [paths relative to table root]} — files
+        must already carry the logical columns + `_lsn` + `_op`.
+        """
+        version = self.current_version()
+        manifest = self._read_manifest(version)
+        new_buckets = dict(manifest["buckets"])
+        file_gens = dict(manifest["file_gens"])
+        gen = int(manifest["gen"])
+        n_files = 0
+        for b, fs in files_by_bucket.items():
+            if not fs:
+                continue
+            new_buckets[str(b)] = list(new_buckets.get(str(b), [])) + list(fs)
+            for f in fs:
+                file_gens[f] = gen
+            n_files += len(fs)
+        manifest.update(buckets=new_buckets, file_gens=file_gens, has_deltas=True)
+        self._commit(version + 1, manifest)
+        return {
+            "version": version + 1,
+            "applied_buckets": len(files_by_bucket),
+            "files_registered": n_files,
+        }
+
+    def delta_file_count(self) -> int:
+        m = self._read_manifest(self.current_version())
+        return sum(len(fs) for fs in m["buckets"].values())
 
     def overwrite(self, spark: SparkSession, df: DataFrame, lsn_col=None) -> dict:
         """Full load. df has the logical columns (+ optional lsn column).
@@ -362,7 +467,9 @@ class SnapshotTable:
         version = self.current_version()
         manifest = self._read_manifest(version)
         manifest["schema"] = new_spec
-        manifest["evolved"] = True
+        gen = int(manifest["gen"]) + 1
+        manifest["gen"] = gen
+        manifest["gen_specs"] = {**manifest["gen_specs"], str(gen): new_spec}
         self._commit(version + 1, manifest)
         return version + 1
 
@@ -403,10 +510,22 @@ class SnapshotTable:
                     for fn in sorted(os.listdir(os.path.join(out_abs, entry)))
                     if fn.endswith(".parquet")
                 ]
-        # Post-compaction all live files share one physical schema again.
+        # Post-compaction all live files share one physical schema again
+        # (current generation) and all key versions are folded (MOR deltas
+        # resolved by read_internal during the rewrite).
+        gen = int(manifest["gen"])
         self._commit(
             version + 1,
-            {"buckets": new_buckets, "schema": manifest["schema"], "evolved": False},
+            {
+                "buckets": new_buckets,
+                "schema": manifest["schema"],
+                "gen": gen,
+                "gen_specs": {str(gen): manifest["schema"]},
+                "file_gens": {
+                    f: gen for fs in new_buckets.values() for f in fs
+                },
+                "has_deltas": False,
+            },
         )
         return {"version": version + 1, "buckets": len(new_buckets)}
 

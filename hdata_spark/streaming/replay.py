@@ -73,16 +73,24 @@ class ReplayConfig:
     max_salts: int = 32
     use_pandas_udfs: bool = False  # pandas_udf twins instead of built-ins
     detect_skew: bool = True
+    # Sink commit mode. "append" (default) = merge-on-read fast-append:
+    # per-epoch commits are metadata-only manifest appends of the staged
+    # winner files (Iceberg fast-append / Hudi MOR); readers resolve by
+    # stored LSN and `compact_at_end` folds the table back to one row per
+    # key. "merge" = copy-on-write per-epoch MERGE (reads + rewrites the
+    # affected buckets every epoch; read-optimized, commit-heavy).
+    sink_commit: str = "append"
+    compact_at_end: bool = True
 
 
-def _fingerprint_agg():
+def _fingerprint_agg(lsn_col: str = "lsn"):
     """Order-insensitive batch fingerprint: BIT_XOR of xxhash64(repo,path,lsn).
 
     XOR is commutative/associative and overflow-free, so it is computable as
     a distributed aggregate regardless of partitioning (ANSI-safe; a SUM of
     hashes would overflow under Spark 4's default ANSI mode).
     """
-    return F.expr("bit_xor(xxhash64(repo, path, lsn))")
+    return F.expr(f"bit_xor(xxhash64(repo, path, {lsn_col}))")
 
 
 def _transform(data: DataFrame, registry: SchemaRegistry, cfg: ReplayConfig) -> DataFrame:
@@ -213,12 +221,12 @@ def _apply_run(
         "sc_kind", "sc_column", "sc_arg"
     )
 
-    # One shuffle for the whole run: per-epoch LWW winners, STAGED to an
-    # epoch-partitioned parquet dataset next to the table. Staging (instead
-    # of .persist) matters twice over: the columnar cache builder
-    # anti-scales with cores (measured 22s@8 -> 57s@32 for the same data),
-    # while a parquet write scales; and at 10^10 events the winners don't
-    # fit executor storage memory anyway — a one-pass spill to the (scalable)
+    # One pass for the whole run: per-epoch LWW winners, STAGED to an
+    # (epoch, bucket)-partitioned parquet dataset. Staging (instead of
+    # .persist) matters twice over: the columnar cache builder anti-scales
+    # with cores (measured 22s@8 -> 57s@32 for the same data), while a
+    # parquet write scales; and at 10^10 events the winners don't fit
+    # executor storage memory anyway — a one-pass spill to the (scalable)
     # table filesystem with per-epoch partition pruning is the design that
     # survives the scale-up.
     # Dedup FIRST, transform AFTER: the winner set is typically a small
@@ -226,21 +234,60 @@ def _apply_run(
     # the vectorized transforms (sha256, lang normalization, projection) on
     # winners only cuts their cost by the churn factor; the winners
     # aggregation itself reads just (epoch, keys, lsn) — column-pruned at
-    # the scan. Transforms are row-wise, so the reorder is semantics-free.
+    # the scan — and the winner rows come back via a broadcast semi join on
+    # LSN, so the full-width event stream is never shuffled (see
+    # operators.dedup). Transforms are row-wise, so the reorder is
+    # semantics-free.
+    mor = cfg.sink_commit == "append"
     deduped = lww_latest(data, keys=("epoch", *table.keys), order_col="lsn")
     deduped = _transform(deduped, registry, cfg)
     deduped = deduped.withColumn("bucket", table._bucket_expr())
-    stage_dir = os.path.join(
-        table.root, "_staging", f"run_{lo:08d}_{hi:08d}_{uuid.uuid4().hex[:8]}"
+    logical = [c["name"] for c in registry.spec]
+    staged_cols = deduped.select(
+        *logical,
+        F.col("lsn").alias("_lsn"),
+        F.when(F.col("op") == "delete", F.lit("d")).otherwise(F.lit("u")).alias("_op"),
+        "epoch",
+        "bucket",
     )
+    if mor:
+        # Delta files live INSIDE the table: per-epoch commit = manifest
+        # append of these files (metadata-only; see SnapshotTable.register_deltas).
+        stage_rel = os.path.join(
+            "data", f"delta_{lo:08d}_{hi:08d}_{uuid.uuid4().hex[:8]}"
+        )
+    else:
+        stage_rel = os.path.join(
+            "_staging", f"run_{lo:08d}_{hi:08d}_{uuid.uuid4().hex[:8]}"
+        )
+    stage_dir = os.path.join(table.root, stage_rel)
     t0 = time.time()
-    # Flat layout (epoch kept as a column, no partitionBy): dynamic-partition
-    # writes sort every task's rows by the partition key, which dominates the
-    # write for wide string rows; per-epoch reads of the staged set are cheap
-    # column-pruned scans, and at cluster scale row-group stats on the
-    # monotone epoch column prune them further.
-    deduped.write.mode("overwrite").parquet(stage_dir)
+    # repartition BY (epoch, bucket): each output group lands wholly in one
+    # task, so the dynamic-partition write emits exactly one file per
+    # (epoch, bucket) and the per-task partition sort is over ~1 group.
+    (
+        staged_cols.repartition(F.col("epoch"), F.col("bucket"))
+        .write.partitionBy("epoch", "bucket")
+        .mode("overwrite")
+        .parquet(stage_dir)
+    )
     t0 = _prof(f"run[{lo}-{hi}] stage write", t0)
+    if not any(e.startswith("epoch=") for e in os.listdir(stage_dir)):
+        # Run carried zero data events (e.g. schema-change-only epoch):
+        # commit empty epochs so the ledger stays contiguous.
+        for epoch in run:
+            merge_stats = (
+                table.register_deltas({})
+                if mor
+                else table.merge(spark, None, affected=[], batch_deduped=True)
+            )
+            _commit_epoch(
+                epoch, [], [], merge_stats, registry, ledger, metrics, cfg,
+                global_max_lsn,
+            )
+        if not mor:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+        return
     staged = spark.read.parquet(stage_dir)
 
     # One metrics pass for the whole run: GROUPING SETS ((epoch, bucket),
@@ -252,8 +299,8 @@ def _apply_run(
         )
         .agg(
             F.count("*").alias("applied_events"),
-            F.max("lsn").alias("max_applied_lsn"),
-            _fingerprint_agg().alias("fp"),
+            F.max("_lsn").alias("max_applied_lsn"),
+            _fingerprint_agg("_lsn").alias("fp"),
         )
         .collect()
     )
@@ -269,18 +316,47 @@ def _apply_run(
     for epoch in run:
         rows_bucket = by_epoch_bucket.get(epoch, [])
         affected = sorted(int(r["bucket"]) for r in rows_bucket)
-        merge_stats = table.merge(
-            spark,
-            staged.filter(F.col("epoch") == epoch).drop("bucket", "epoch"),
-            affected=affected,
-            batch_deduped=True,  # staged winners are unique per (epoch, key)
-        )
+        if mor:
+            files_by_bucket: dict[int, list[str]] = {}
+            edir = os.path.join(stage_dir, f"epoch={epoch}")
+            if os.path.isdir(edir):
+                for entry in sorted(os.listdir(edir)):
+                    if not entry.startswith("bucket="):
+                        continue
+                    b = int(entry.split("=", 1)[1])
+                    files_by_bucket[b] = [
+                        os.path.join(stage_rel, f"epoch={epoch}", entry, fn)
+                        for fn in sorted(
+                            os.listdir(os.path.join(edir, entry))
+                        )
+                        if fn.endswith(".parquet")
+                    ]
+            merge_stats = table.register_deltas(files_by_bucket)
+        else:
+            epoch_batch = (
+                staged.filter(F.col("epoch") == epoch)
+                .withColumn("lsn", F.col("_lsn"))
+                .withColumn(
+                    "op",
+                    F.when(F.col("_op") == "d", F.lit("delete")).otherwise(
+                        F.lit("update")
+                    ),
+                )
+                .drop("_lsn", "_op", "bucket", "epoch")
+            )
+            merge_stats = table.merge(
+                spark,
+                epoch_batch,
+                affected=affected,
+                batch_deduped=True,  # staged winners are unique per (epoch, key)
+            )
         _commit_epoch(
             epoch, rows_bucket, by_epoch_repo.get(epoch, []), merge_stats,
             registry, ledger, metrics, cfg, global_max_lsn,
         )
-        t0 = _prof(f"epoch {epoch} merge+commit", t0)
-    shutil.rmtree(stage_dir, ignore_errors=True)
+        t0 = _prof(f"epoch {epoch} {'append' if mor else 'merge'}+commit", t0)
+    if not mor:
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 def replay(
@@ -355,9 +431,18 @@ def replay(
             spark, events, run, table, ledger, metrics, registry, cfg,
             global_max_lsn, has_schema_changes=bool(set(run) & sc_epochs),
         )
+    compacted = False
+    if cfg.sink_commit == "append" and cfg.compact_at_end and todo:
+        # Fold MOR deltas back to one row per key (read-optimize the table).
+        # Policy, not correctness: readers resolve deltas either way. On a
+        # real deployment this runs on its own cadence (every k-th run /
+        # delta-file threshold), amortized across many fast-append commits.
+        table.compact(spark)
+        compacted = True
     return {
         "epochs_applied": len(todo),
         "epochs_skipped": skipped,
         "runs": len(runs),
+        "compacted": compacted,
         "final_snapshot_version": table.current_version(),
     }

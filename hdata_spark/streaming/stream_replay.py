@@ -1,0 +1,165 @@
+"""Structured Streaming replay: WAL/binlog tail via readStream + foreachBatch.
+
+The reference's Kafka reader is its streaming archetype — an offset-tracked
+topic tail, bounded per run by `max.fetch.size` / `max.wait.second`
+(hdata-kafka/.../reader/kafka/KafkaConsumer.java:84-141;
+`start.offset` seek :85-97). This module is the Spark-native generalization:
+
+- the event log directory is the "topic" (`spark.readStream.parquet`);
+  swapping in `format("kafka")` + `startingOffsets` changes NOTHING
+  downstream — foreachBatch sees the same change-event frame;
+- checkpointed source offsets replace the consumer group: a restarted query
+  resumes from the last committed trigger (the reference re-reads from its
+  static `start.offset`);
+- `maxFilesPerTrigger` is the `max.fetch.size` bound (micro-batch sizing /
+  backpressure); `Trigger.AvailableNow` is the bounded-replay mode — drain
+  everything, checkpointing per batch, then stop;
+- the apply stage inside foreachBatch is the SAME pipeline as batch replay:
+  vectorized transforms -> registry projection -> LWW dedup -> stored-LSN
+  MERGE, so stream and batch replays of one log converge to an identical
+  final table (tested in tests/test_stream_replay.py).
+
+Exactly-once: Spark re-delivers an in-flight micro-batch after a crash with
+the SAME batch_id. The ledger (keyed by batch_id here — the stream's epoch)
+skips fully-committed batches, and the stored-LSN LWW merge makes even a
+raced re-apply a no-op — the same two-layer guarantee as batch replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdata_spark.operators.dedup import lww_latest
+from hdata_spark.plans.schema_registry import SchemaRegistry
+from hdata_spark.sinks.snapshot import SnapshotTable
+from hdata_spark.streaming.ledger import CommitLedger
+from hdata_spark.streaming.metrics import MetricsLog
+from hdata_spark.streaming.replay import ReplayConfig, _transform
+
+
+def apply_change_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    table: SnapshotTable,
+    ledger: CommitLedger,
+    metrics: MetricsLog,
+    registry: SchemaRegistry,
+    cfg: ReplayConfig,
+) -> dict | None:
+    """Apply ONE micro-batch of change events (shared stream/batch core).
+
+    Schema-change events in the batch are applied first (in LSN order), then
+    all data events project against the updated registry — within a single
+    micro-batch this matches the batch replayer's isolate-the-schema-epoch
+    rule because projection only ADDS evolved columns; data rows preceding
+    the change simply carry nulls there, exactly as the registry's
+    since_lsn records.
+    """
+    if ledger.is_committed(batch_id):
+        return None
+    changes = (
+        batch.filter(F.col("op") == "schema_change")
+        .select("lsn", "sc_kind", "sc_column", "sc_arg")
+        .orderBy("lsn")
+        .collect()
+    )
+    for ch in changes:
+        registry.apply_change(ch["sc_kind"], ch["sc_column"], ch["sc_arg"], ch["lsn"])
+    if changes:
+        table.evolve_schema(registry.spec)
+
+    data = batch.filter(F.col("op") != "schema_change").drop(
+        "sc_kind", "sc_column", "sc_arg"
+    )
+    winners = lww_latest(data, keys=tuple(table.keys), order_col="lsn")
+    winners = _transform(winners, registry, cfg)
+    winners = winners.withColumn("bucket", table._bucket_expr())
+
+    stats = (
+        winners.groupBy("bucket")
+        .agg(
+            F.count("*").alias("applied_events"),
+            F.max("lsn").alias("max_applied_lsn"),
+        )
+        .collect()
+    )
+    affected = sorted(int(r["bucket"]) for r in stats)
+    merge_stats = table.merge(
+        spark, winners.drop("bucket"), affected=affected, batch_deduped=True
+    )
+    if stats:
+        gmax = max(int(r["max_applied_lsn"]) for r in stats)
+        mean_rows = sum(int(r["applied_events"]) for r in stats) / len(stats)
+    else:
+        gmax, mean_rows = 0, 0.0
+    partitions = [
+        {
+            "partition_id": int(r["bucket"]),
+            "applied_events": int(r["applied_events"]),
+            "lag_events": int(gmax - r["max_applied_lsn"]),
+            "skew_ratio": (int(r["applied_events"]) / mean_rows) if mean_rows else 0.0,
+            "salt_buckets": 1,
+        }
+        for r in sorted(stats, key=lambda r: r["bucket"])
+    ]
+    metrics.append(batch_id, partitions)
+    ledger.commit(
+        batch_id,
+        {
+            "partitions": partitions,
+            "committed_at_lsn": gmax,
+            "applied_events": sum(p["applied_events"] for p in partitions),
+            "schema_version": registry.versions[-1]["schema_version"],
+            "snapshot_version": merge_stats["version"],
+            "mode": "stream",
+        },
+    )
+    return merge_stats
+
+
+def stream_replay(
+    spark: SparkSession,
+    events_dir: str,
+    table: SnapshotTable,
+    ledger: CommitLedger,
+    metrics: MetricsLog,
+    registry: SchemaRegistry,
+    checkpoint_dir: str,
+    cfg: ReplayConfig | None = None,
+    max_files_per_trigger: int = 4,
+    timeout_sec: int = 600,
+) -> dict:
+    """Drain the event-log directory through Structured Streaming.
+
+    Bounded replay (`Trigger.AvailableNow`): processes everything currently
+    in `events_dir` in checkpointed micro-batches of `max_files_per_trigger`
+    files, then stops. Re-invoking with the same checkpoint resumes after
+    the last committed trigger — new files only (the WAL-tail loop).
+    """
+    cfg = cfg or ReplayConfig()
+    schema = spark.read.parquet(events_dir).schema
+
+    n_batches = {"n": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_change_batch(
+            spark, batch_df, int(batch_id), table, ledger, metrics, registry, cfg
+        )
+        n_batches["n"] += 1
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return {
+        "batches": n_batches["n"],
+        "final_snapshot_version": table.current_version(),
+    }

@@ -33,3 +33,15 @@ def test_cdc_engine_replay_matches_oracle(spark):
         entry_mod.oracle_sql()["cdc_engine_replay"]
     ).fetchall())
     assert got == want
+
+
+def test_cdc_engine_stream_replay_matches_oracle(spark):
+    """Same check through the Structured Streaming path (foreachBatch)."""
+    df = entry_mod.queries()["cdc_engine_stream_replay"](spark, SF_DIR)
+    got = sorted(tuple(r) for r in df.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    want = sorted(tuple(r) for r in con.execute(
+        entry_mod.oracle_sql()["cdc_engine_stream_replay"]
+    ).fetchall())
+    assert got == want

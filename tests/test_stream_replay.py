@@ -1,0 +1,117 @@
+"""Structured Streaming replay: stream == oracle == batch, resume = no-op.
+
+Covers the reference's streaming archetype (Kafka offset tail,
+hdata-kafka/.../reader/kafka/KafkaConsumer.java:84-141) re-expressed as a
+checkpointed file-stream: micro-batch drain, exactly-once under restart.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from hdata_spark.fixtures import oracle_final_state, sha256_fingerprint
+from hdata_spark.plans.schema_registry import SchemaRegistry
+from hdata_spark.sinks.snapshot import SnapshotTable
+from hdata_spark.streaming.ledger import CommitLedger
+from hdata_spark.streaming.metrics import MetricsLog
+from hdata_spark.streaming.stream_replay import stream_replay
+
+from tests.conftest import assert_state_equal
+
+
+def _write_event_files(events: pd.DataFrame, d: str) -> str:
+    """One parquet file per epoch — multiple stream triggers."""
+    os.makedirs(d, exist_ok=True)
+    for epoch, part in events.groupby("epoch"):
+        part.to_parquet(os.path.join(d, f"epoch_{int(epoch):04d}.parquet"), index=False)
+    return d
+
+
+def _mk(tmp_path, name):
+    d = tmp_path / name
+    d.mkdir(exist_ok=True)
+    return (
+        SnapshotTable(str(d / "table"), n_buckets=16),
+        CommitLedger(str(d / "ledger")),
+        MetricsLog(str(d / "metrics")),
+        SchemaRegistry(state_path=str(d / "registry.json")),
+        str(d / "checkpoint"),
+    )
+
+
+def test_stream_replay_matches_oracle(spark, tmp_path, small_fixture):
+    base, events = small_fixture
+    events_dir = _write_event_files(events, str(tmp_path / "events"))
+    table, ledger, metrics, registry, ckpt = _mk(tmp_path, "eng")
+    table.overwrite(spark, spark.createDataFrame(base))
+    stats = stream_replay(
+        spark, events_dir, table, ledger, metrics, registry, ckpt,
+        max_files_per_trigger=1,
+    )
+    assert stats["batches"] >= 2  # genuinely micro-batched
+    assert_state_equal(table.read(spark).toPandas(), oracle_final_state(base, events))
+    # per-batch ledger + metrics rows exist
+    assert len(ledger.committed_epochs()) == stats["batches"]
+    assert len(metrics.rows()) > 0
+
+
+def test_stream_restart_resumes_without_reprocessing(spark, tmp_path, small_fixture):
+    base, events = small_fixture
+    events_dir = _write_event_files(events, str(tmp_path / "events"))
+    table, ledger, metrics, registry, ckpt = _mk(tmp_path, "eng")
+    table.overwrite(spark, spark.createDataFrame(base))
+    stream_replay(spark, events_dir, table, ledger, metrics, registry, ckpt)
+    v1 = table.current_version()
+    fp1 = sha256_fingerprint(table.read(spark).toPandas())
+    # restart with the same checkpoint: nothing new -> no batches, no change
+    stats2 = stream_replay(
+        spark, events_dir, table, ledger, metrics, registry, ckpt
+    )
+    assert stats2["batches"] == 0
+    assert table.current_version() == v1
+    assert sha256_fingerprint(table.read(spark).toPandas()) == fp1
+
+
+def test_stream_tail_new_files_only(spark, tmp_path, small_fixture):
+    """The WAL-tail loop: files arriving after a drain are picked up alone."""
+    base, events = small_fixture
+    first = events[events["epoch"] < 2]
+    rest = events[events["epoch"] >= 2]
+    events_dir = str(tmp_path / "events")
+    _write_event_files(first, events_dir)
+    table, ledger, metrics, registry, ckpt = _mk(tmp_path, "eng")
+    table.overwrite(spark, spark.createDataFrame(base))
+    stream_replay(spark, events_dir, table, ledger, metrics, registry, ckpt)
+    mid_expected = oracle_final_state(base, first)
+    assert_state_equal(table.read(spark).toPandas(), mid_expected)
+    # "new WAL segments arrive"
+    _write_event_files(rest, events_dir)
+    stats2 = stream_replay(
+        spark, events_dir, table, ledger, metrics, registry, ckpt,
+        max_files_per_trigger=1,
+    )
+    assert stats2["batches"] >= 1
+    assert_state_equal(table.read(spark).toPandas(), oracle_final_state(base, events))
+
+
+def test_stream_batch_convergence(spark, tmp_path, small_fixture):
+    """Stream replay and batch replay of one log -> identical final table."""
+    from hdata_spark.streaming.replay import ReplayConfig, replay
+
+    base, events = small_fixture
+    events_dir = _write_event_files(events, str(tmp_path / "events"))
+
+    t_s, l_s, m_s, r_s, ckpt = _mk(tmp_path, "stream")
+    t_s.overwrite(spark, spark.createDataFrame(base))
+    stream_replay(spark, events_dir, t_s, l_s, m_s, r_s, ckpt)
+
+    t_b, l_b, m_b, r_b, _ = _mk(tmp_path, "batch")
+    t_b.overwrite(spark, spark.createDataFrame(base))
+    replay(
+        spark, spark.createDataFrame(events), t_b, l_b, m_b, r_b, ReplayConfig()
+    )
+    assert sha256_fingerprint(t_s.read(spark).toPandas()) == sha256_fingerprint(
+        t_b.read(spark).toPandas()
+    )

@@ -1,0 +1,115 @@
+"""Edge-case unit tests for the dedup/similarity operator family
+(oracle parity at sf0.001 is covered by tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdata_spark.operators.similarity import cosine_topk, ivf_assign, ivf_search
+from hdata_spark.operators.text_dedup import (
+    lang_id_scores,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_df,
+    simhash_near_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_short_docs_dropped_not_crashed(spark):
+    d = _docs(spark, [(1, "one two"), (2, "a b c d e"), (3, ""), (4, None)])
+    sig = minhash_signatures(d.filter(F.col("text").isNotNull()))
+    ids = {r["doc_id"] for r in sig.collect()}
+    assert ids == {2}  # only the >=3-token doc survives
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    text = "the quick brown fox jumps over the lazy dog"
+    d = _docs(spark, [(1, text), (2, text), (3, "totally different words here now")])
+    pairs = {
+        (r["doc_a"], r["doc_b"], r["n_shared_bands"])
+        for r in minhash_lsh_candidates(d).collect()
+    }
+    assert (1, 2, 4) in pairs  # identical docs share ALL 4 bands
+    assert not any(p[:2] in {(1, 3), (2, 3)} for p in pairs)
+
+
+def test_simhash_deterministic_and_bounded(spark):
+    d = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma")])
+    rows = simhash_df(d).collect()
+    vals = {r["doc_id"]: r["simhash"] for r in rows}
+    assert vals[1] == vals[2]
+    assert 0 <= vals[1] < 2**32
+
+
+def test_simhash_identical_pairs_have_zero_hamming(spark):
+    d = _docs(
+        spark,
+        [(1, "spark engine test data"), (2, "spark engine test data"),
+         (3, "completely unrelated content words")],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_pairs(d, max_hamming=0).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_jaccard_identical_is_one(spark):
+    d = _docs(spark, [(1, "abcdefgh"), (2, "abcdefgh"), (3, "zzzzyyyy")])
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(d, min_jaccard=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] < 0.2
+
+
+def test_lang_id_tiebreak_prefers_en(spark):
+    # 'la' is in both es and fr lexicons; 'the' in en only. All-zero doc
+    # must fall back to 'en' (first in the priority chain).
+    d = _docs(spark, [(1, "qqq www eee"), (2, "la la la"), (3, "the the")])
+    rows = {r["doc_id"]: r for r in lang_id_scores(d).collect()}
+    assert rows[1]["lang_pred"] == "en"  # all scores 0 -> en wins tie
+    assert rows[2]["lang_pred"] == "es"  # es before fr on tie
+    assert rows[3]["lang_pred"] == "en"
+
+
+def test_ivf_search_stays_in_cell_and_topk_exactness(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned = ivf_assign(e, n_cells=8)
+    q = assigned.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell"
+    )
+    res = ivf_search(assigned, q, k=5)
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    for r in res.collect():
+        # every returned candidate lives in the query's own cell
+        assert r["cell"] == cells[r["query_id"]]
+    # per-query at most k results, descending cosine
+    import collections
+
+    by_q = collections.defaultdict(list)
+    for r in res.collect():
+        by_q[r["query_id"]].append(r["cosine"])
+    for sims in by_q.values():
+        assert len(sims) <= 5 and sims == sorted(sims, reverse=True)
+
+
+def test_brute_force_topk_is_superset_reference(spark):
+    """IVF recall sanity: the in-cell top-1 is <= brute-force top-1 cosine."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    bf = cosine_topk(e, q, k=1)
+    bf_best = {r["query_id"]: r["cosine"] for r in bf.collect()}
+    assigned = ivf_assign(e, n_cells=8)
+    qc = assigned.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell"
+    )
+    ivf_best = {r["query_id"]: r["cosine"]
+                for r in ivf_search(assigned, qc, k=1).collect()}
+    for qid, c in ivf_best.items():
+        assert c <= bf_best[qid] + 1e-9
