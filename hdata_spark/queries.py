@@ -556,6 +556,76 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q4_semi_join",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS -> LEFT SEMI join + agg ("orders
+    with at least one line shipped after the order date")."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "emb_centroids_grouped",
+    """
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           round(avg(embedding[i]::DOUBLE), 6) AS centroid_val
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+)
+def emb_centroids_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via applyInPandas — the grouped custom
+    aggregation surface (SURVEY §2.10: the reference's wit-script writer
+    generalized to Arrow-batched group processing). The worker function is a
+    local closure (pickled by value; workers never import this package)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("centroid_val", T.DoubleType()),
+        ]
+    )
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as _pd
+
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        avg = m.mean(axis=0)
+        return _pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": range(len(avg)),
+                "centroid_val": [round(v, 6) for v in avg],
+            }
+        )
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInPandas(centroid, schema=schema)
+
+
+@query(
     "window_running_total",
     """
     SELECT o_custkey, o_orderkey,
@@ -751,12 +821,20 @@ _MINHASH_SIG_SQL += ",\n".join(
         SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_sig FROM sig
         UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
         UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-         AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+        UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+    buckets AS (
+        SELECT band_idx, band_sig,
+               (list_sort(list(doc_id)))[1:200] AS ids
+        FROM bands GROUP BY band_idx, band_sig
+        HAVING len(list(doc_id)) >= 2),
+    pairs AS (
+        SELECT unnest(flatten(
+            [[{'a': ids[i], 'b': ids[j]}
+              for j in range(i + 1, len(ids) + 1)]
+             for i in range(1, len(ids) + 1)])) AS p
+        FROM buckets)
+    SELECT p.a AS doc_a, p.b AS doc_b, count(*) AS n_shared_bands
+    FROM pairs GROUP BY 1, 2
     """,
 )
 def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
