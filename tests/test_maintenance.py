@@ -1,0 +1,84 @@
+"""Table maintenance: MOR compaction, tombstone expiry, orphan vacuum."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hdata_spark.fixtures import oracle_final_state, sha256_fingerprint
+from hdata_spark.plans.schema_registry import SchemaRegistry
+from hdata_spark.sinks.snapshot import SnapshotTable
+from hdata_spark.streaming.ledger import CommitLedger
+from hdata_spark.streaming.metrics import MetricsLog
+from hdata_spark.streaming.replay import ReplayConfig, replay
+
+from tests.conftest import assert_state_equal
+
+
+def test_compact_folds_deltas(spark, tmp_path, small_fixture):
+    """Fast-append leaves per-epoch delta files; compact folds to 1/bucket."""
+    base, events = small_fixture
+    table = SnapshotTable(str(tmp_path / "t"), n_buckets=8)
+    table.overwrite(spark, spark.createDataFrame(base))
+    replay(
+        spark, spark.createDataFrame(events), table,
+        CommitLedger(str(tmp_path / "l")), MetricsLog(str(tmp_path / "m")),
+        SchemaRegistry(state_path=str(tmp_path / "r.json")),
+        ReplayConfig(compact_at_end=False),
+    )
+    n_files_before = table.delta_file_count()
+    assert n_files_before > 8  # base + per-epoch deltas
+    fp_before = sha256_fingerprint(table.read(spark).toPandas())
+    stats = table.compact(spark)
+    assert stats["buckets"] <= 8
+    assert table.delta_file_count() <= 8
+    assert sha256_fingerprint(table.read(spark).toPandas()) == fp_before
+    expected = oracle_final_state(base, events)
+    assert_state_equal(table.read(spark).toPandas(), expected)
+
+
+def test_tombstone_expiry(spark, tmp_path):
+    table = SnapshotTable(str(tmp_path / "t"), n_buckets=4)
+    rows = pd.DataFrame(
+        [
+            {"repo": "o/r", "path": "a.py", "commit": "c1", "lang": "python",
+             "content": "keep", "lsn": 1, "op": "insert"},
+            {"repo": "o/r", "path": "b.py", "commit": "c2", "lang": "python",
+             "content": "gone", "lsn": 2, "op": "insert"},
+        ]
+    )
+    table.merge(spark, spark.createDataFrame(rows))
+    dele = rows.iloc[[1]].assign(lsn=9, op="delete")
+    table.merge(spark, spark.createDataFrame(dele))
+    # tombstone is a hidden ROW, not absence
+    assert table.read(spark).count() == 1
+    internal = table.read_internal(spark)
+    assert internal.count() == 2
+    assert internal.filter(F.col("_op") == "d").count() == 1
+    # expiry below watermark 10 (> tombstone lsn 9) physically removes it;
+    # only safe once the ledger guarantees no replay below the watermark.
+    table.compact(spark, expire_tombstones_below_lsn=10)
+    assert table.read_internal(spark).count() == 1
+    assert table.read(spark).count() == 1
+    # a tombstone AT/ABOVE the watermark survives
+    dele2 = rows.iloc[[0]].assign(lsn=20, op="delete")
+    table.merge(spark, spark.createDataFrame(dele2))
+    table.compact(spark, expire_tombstones_below_lsn=15)
+    assert table.read_internal(spark).filter(F.col("_op") == "d").count() == 1
+    assert table.read(spark).count() == 0
+
+
+def test_vacuum_removes_unreferenced_files(spark, tmp_path, small_fixture):
+    base, events = small_fixture
+    table = SnapshotTable(str(tmp_path / "t"), n_buckets=8)
+    table.overwrite(spark, spark.createDataFrame(base))
+    replay(
+        spark, spark.createDataFrame(events), table,
+        CommitLedger(str(tmp_path / "l")), MetricsLog(str(tmp_path / "m")),
+        SchemaRegistry(state_path=str(tmp_path / "r.json")),
+        ReplayConfig(),  # compacts at end -> pre-compaction files orphaned
+    )
+    fp = sha256_fingerprint(table.read(spark).toPandas())
+    removed = table.vacuum()
+    assert removed > 0
+    assert sha256_fingerprint(table.read(spark).toPandas()) == fp

@@ -22,8 +22,17 @@ from tests.conftest import assert_state_equal
 
 
 def _write_event_files(events: pd.DataFrame, d: str) -> str:
-    """One parquet file per epoch — multiple stream triggers."""
+    """One parquet file per epoch — multiple stream triggers.
+
+    Object columns are forced to string dtype: an epoch slice whose sc_*/
+    payload column is all-None would otherwise get a different parquet
+    physical type per file, and the stream's fixed schema read would fail.
+    """
     os.makedirs(d, exist_ok=True)
+    events = events.copy()
+    for c in events.columns:
+        if events[c].dtype == object:
+            events[c] = events[c].astype("string")
     for epoch, part in events.groupby("epoch"):
         part.to_parquet(os.path.join(d, f"epoch_{int(epoch):04d}.parquet"), index=False)
     return d
@@ -94,6 +103,40 @@ def test_stream_tail_new_files_only(spark, tmp_path, small_fixture):
     )
     assert stats2["batches"] >= 1
     assert_state_equal(table.read(spark).toPandas(), oracle_final_state(base, events))
+
+
+def test_stream_schema_evolution(spark, tmp_path):
+    """Schema-change events through the STREAM path: final schema + values
+    match the batch replayer on the same log."""
+    from hdata_spark.fixtures import CDCFixtureConfig, generate_base, generate_events
+    from hdata_spark.streaming.replay import ReplayConfig, replay
+
+    cfg = CDCFixtureConfig(
+        seed=43, n_repos=8, paths_per_repo=12, hot_repos=0,
+        n_events=1_200, epoch_size=400, base_rows=60,
+        schema_changes=(
+            ("add", "stars", "int"),
+            ("rename", "stars", "stargazers"),
+            ("widen", "stargazers", "bigint"),
+        ),
+    )
+    base, events = generate_base(cfg), generate_events(cfg)
+    events_dir = _write_event_files(events, str(tmp_path / "events"))
+
+    t_s, l_s, m_s, r_s, ckpt = _mk(tmp_path, "stream")
+    t_s.overwrite(spark, spark.createDataFrame(base))
+    stream_replay(spark, events_dir, t_s, l_s, m_s, r_s, ckpt)
+
+    t_b, l_b, m_b, r_b, _ = _mk(tmp_path, "batch")
+    t_b.overwrite(spark, spark.createDataFrame(base))
+    replay(spark, spark.createDataFrame(events), t_b, l_b, m_b, r_b, ReplayConfig())
+
+    assert t_s.columns() == t_b.columns()
+    assert t_s.columns()[-1] == "stargazers"
+    assert {c["name"]: c["type"] for c in t_s.schema_spec()}["stargazers"] == "bigint"
+    assert sha256_fingerprint(t_s.read(spark).toPandas()) == sha256_fingerprint(
+        t_b.read(spark).toPandas()
+    )
 
 
 def test_stream_batch_convergence(spark, tmp_path, small_fixture):
