@@ -238,6 +238,82 @@ def cdc_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_metrics_grouping_sets",
+    """
+    SELECT event_id // 2500 AS epoch,
+           user_id % 16 AS partition_id,
+           event_type,
+           count(*) AS n_events,
+           max(event_id) AS max_lsn
+    FROM events
+    GROUP BY GROUPING SETS ((event_id // 2500, user_id % 16),
+                            (event_id // 2500, event_type))
+    """,
+)
+def cdc_metrics_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over (epoch, partition) and (epoch, event_type) — the
+    exact shape of the replay loop's one-pass ledger/metrics aggregation
+    (streaming/replay.py gsets)."""
+    ev = load(spark, sf_dir, "events")
+    epoch = (F.col("event_id") / 2500).cast("long").alias("epoch")
+    part = (F.col("user_id") % 16).alias("partition_id")
+    return ev.select(epoch, part, "event_type", "event_id").groupingSets(
+        [["epoch", "partition_id"], ["epoch", "event_type"]],
+        F.col("epoch"), F.col("partition_id"), F.col("event_type"),
+    ).agg(F.count("*").alias("n_events"), F.max("event_id").alias("max_lsn"))
+
+
+@query(
+    "doc_length_quantiles",
+    """
+    SELECT lang,
+           count(*) AS n,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90,
+           round(quantile_cont(n_chars, 0.99), 6) AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles of document length per lang (corpus
+    length-distribution profiling; same interpolation as DuckDB
+    quantile_cont)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+    )
+
+
+@query(
+    "cdc_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (the batch twin of a
+    Structured Streaming `window(ts, '1 hour')` group — identical grouping
+    keys, so the same query runs on `readStream` with a watermark)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+
+
+@query(
     "window_topk_per_key",
     """
     SELECT user_id, event_id, event_type, rn

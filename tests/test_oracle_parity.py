@@ -42,7 +42,11 @@ def _norm(v):
 
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    normed = [tuple(_norm(r[i]) for i in order) for r in rows]
+    # None-safe total order (grouping sets emit NULL group keys)
+    return sorted(
+        normed, key=lambda t: tuple((v is None, str(v)) for v in t)
+    )
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
