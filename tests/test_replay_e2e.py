@@ -154,6 +154,26 @@ def test_update_to_never_inserted_key_upserts(spark, tmp_path):
     assert len(out) == 1 and out.iloc[0]["content"] == "hello"
 
 
+def test_crash_between_data_commit_and_ledger(spark, tmp_path, small_fixture):
+    """Crash window: data snapshot committed but ledger write lost. The
+    resumed replay re-applies that epoch; stored-LSN LWW makes it a no-op
+    (the ledger is the fast path, NOT the correctness anchor)."""
+    import os
+
+    base, events = small_fixture
+    table, ledger, metrics, registry, _ = _run(spark, tmp_path, base, events)
+    expected_fp = sha256_fingerprint(table.read(spark).toPandas())
+    # simulate the crash: drop the newest ledger entry (data already applied)
+    newest = sorted(os.listdir(ledger.root))[-1]
+    os.remove(os.path.join(ledger.root, newest))
+    _, _, _, _, stats = _run(
+        spark, tmp_path, pd.DataFrame(columns=base.columns), events,
+        engine=(table, ledger, metrics, registry),
+    )
+    assert stats["epochs_applied"] == 1  # only the unledgered epoch re-runs
+    assert sha256_fingerprint(table.read(spark).toPandas()) == expected_fp
+
+
 def test_pandas_udf_path_matches_builtin(spark, tmp_path, small_fixture):
     base, events = small_fixture
     t1, *_ = _run(spark, tmp_path / "a", base, events, cfg=ReplayConfig(use_pandas_udfs=False))
