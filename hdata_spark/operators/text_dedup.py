@@ -339,6 +339,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_score(
+    pairs: DataFrame,
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact char-n-gram Jaccard for GIVEN candidate pairs (doc_a, doc_b).
+
+    The re-rank stage of the production dedup pipeline: candidates come from
+    minhash_lsh_candidates (near-linear), so the quadratic exact measure
+    only runs on plausible pairs. Two broadcast-friendly joins pull each
+    side's gram set."""
+    g = df.filter(F.length(F.col(text_col)) >= n).select(
+        F.col(id_col), char_ngrams(F.col(text_col), n).alias("grams")
+    )
+    ga = g.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb"))
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("ga", "gb"))
+                / F.size(F.array_union("ga", "gb")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- language id
 
 # Tiny function-word lexicons; deterministic tiebreak order en > de > es > fr.

@@ -994,6 +994,97 @@ def doc_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, min_jaccard=0.5)
 
 
+@query(
+    "doc_dedup_pipeline",
+    _MINHASH_SIG_SQL
+    + """,
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+    buckets AS (
+        SELECT band_idx, band_sig,
+               (list_sort(list(doc_id)))[1:200] AS ids
+        FROM bands GROUP BY band_idx, band_sig
+        HAVING len(list(doc_id)) >= 2),
+    cand AS (
+        SELECT DISTINCT p.a AS doc_a, p.b AS doc_b
+        FROM (SELECT unnest(flatten(
+                 [[{'a': ids[i], 'b': ids[j]}
+                   for j in range(i + 1, len(ids) + 1)]
+                  for i in range(1, len(ids) + 1)])) AS p
+              FROM buckets)),
+    g AS (SELECT doc_id,
+                 list_distinct([substr(text, i, 3)
+                                for i in range(1, length(text) - 1)]) AS grams
+          FROM documents WHERE length(text) >= 3)
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                 len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM cand c
+    JOIN g a ON a.doc_id = c.doc_a
+    JOIN g b ON b.doc_id = c.doc_b
+    WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.7
+    """,
+)
+def doc_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production dedup pipeline: MinHash+LSH candidate
+    generation (near-linear, bucket-join) -> exact char-3-gram Jaccard
+    re-rank on candidates only -> confirmed duplicate pairs (>= 0.7).
+    The quadratic exact measure never sees the full corpus."""
+    from hdata_spark.operators.text_dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_score,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d).select("doc_a", "doc_b")
+    return ngram_jaccard_score(cand, d).filter(F.col("jaccard") >= 0.7)
+
+
+@query(
+    "tpch_q14_promo",
+    """
+    SELECT round(
+        100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                     THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                               (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                          AS DECIMAL(28,6))
+                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        / CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(28,6))) AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: part (dim, broadcast) join lineitem with
+    a conditional decimal-exact aggregate."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+                        F.lit(0).cast("decimal(28,6)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 def _langid_oracle() -> str:
     from hdata_spark.operators.text_dedup import LANG_LEXICONS
 
