@@ -66,6 +66,16 @@ normalize_lang_pudf = _make_normalize_lang_pudf()
 """Arrow-vectorized twin of normalize_lang_col (north-star UDF axis)."""
 
 
+def scrub_newlines(col: Column, replacement: str = " ") -> Column:
+    """Replace \\r\\n / \\n / \\r in a string column with a token.
+
+    Reference parity: the JDBC reader's newline scrub for text-sink safety
+    (hdata-jdbc/.../reader/jdbc/JDBCReader.java:133-134) — a row whose value
+    embeds a newline would corrupt a line-oriented sink. JVM regexp, codegen.
+    """
+    return F.regexp_replace(col, "\r\n|\r|\n", replacement)
+
+
 def sha256_col(col: Column) -> Column:
     """sha256 hex digest of a string column — built-in (F.sha2, JVM-side)."""
     return F.sha2(col.cast("string"), 256)

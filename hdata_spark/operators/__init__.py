@@ -4,3 +4,11 @@ from hdata_spark.operators.partitioning import (
     with_bucket,
     with_salt,
 )
+from hdata_spark.operators.similarity import cosine_topk, ivf_assign, ivf_search
+from hdata_spark.operators.text_dedup import (
+    lang_id_scores,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_df,
+    simhash_near_pairs,
+)

@@ -1,3 +1,4 @@
 from hdata_spark.streaming.ledger import CommitLedger
 from hdata_spark.streaming.metrics import MetricsLog
 from hdata_spark.streaming.replay import ReplayConfig, replay
+from hdata_spark.streaming.stream_replay import apply_change_batch, stream_replay

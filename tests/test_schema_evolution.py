@@ -95,6 +95,38 @@ def test_evolution_resume_restores_registry(spark, tmp_path, evo_cfg):
     )
 
 
+def test_event_payloads_carry_evolved_column_values(spark, tmp_path):
+    """After an `add`, data events that CARRY the new column store its
+    values (projection casts present columns in — not just typed nulls);
+    after a `widen`, values beyond the old type's range flow through."""
+    table, ledger, metrics, registry = _engine(tmp_path)
+    schema = (
+        "lsn long, epoch long, op string, repo string, path string, "
+        "commit string, lang string, content string, stars long, "
+        "sc_kind string, sc_column string, sc_arg string"
+    )
+    rows = [
+        (1, 0, "schema_change", None, None, None, None, None, None,
+         "add", "stars", "int"),
+        (2, 0, "insert", "o/r", "a.py", "c2", "python", "v2", 7,
+         None, None, None),
+        (3, 1, "update", "o/r", "b.py", "c3", "python", "v3", 9,
+         None, None, None),
+        (4, 2, "schema_change", None, None, None, None, None, None,
+         "widen", "stars", "bigint"),
+        (5, 2, "update", "o/r", "a.py", "c5", "python", "v5", 2**40,
+         None, None, None),
+    ]
+    replay(
+        spark, spark.createDataFrame(rows, schema), table, ledger, metrics,
+        registry,
+    )
+    out = table.read(spark).toPandas().set_index("path")
+    assert int(out.loc["a.py", "stars"]) == 2**40  # widened value survives
+    assert int(out.loc["b.py", "stars"]) == 9
+    assert out.loc["a.py", "content"] == "v5"
+
+
 def test_rename_reads_old_physical_files(spark, tmp_path):
     """Data written under the old column name stays readable after rename."""
     table = SnapshotTable(str(tmp_path / "t"), n_buckets=4)

@@ -20,6 +20,17 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_scrub_newlines(spark):
+    """JDBC-reader newline scrub parity (JDBCReader.java:133-134)."""
+    from hdata_spark.functions.text import scrub_newlines
+
+    df = spark.createDataFrame(
+        [("a\r\nb\nc\rd",), ("plain",), (None,)], "s string"
+    )
+    out = [r["t"] for r in df.select(scrub_newlines(F.col("s"), "|").alias("t")).collect()]
+    assert out == ["a|b|c|d", "plain", None]
+
+
 def test_minhash_short_docs_dropped_not_crashed(spark):
     d = _docs(spark, [(1, "one two"), (2, "a b c d e"), (3, ""), (4, None)])
     sig = minhash_signatures(d.filter(F.col("text").isNotNull()))
