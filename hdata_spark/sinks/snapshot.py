@@ -169,7 +169,10 @@ class SnapshotTable:
         return spark.createDataFrame([], T.StructType(fields))
 
     def read_internal(
-        self, spark: SparkSession, buckets: Sequence[int] | None = None
+        self,
+        spark: SparkSession,
+        buckets: Sequence[int] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Snapshot incl. _lsn/bucket; bucket-pruned when asked.
 
@@ -178,8 +181,14 @@ class SnapshotTable:
         analog: HBase region-range scan, hdata-hbase/.../HBaseSplitter.java:57-133).
         Rename lineage resolves via coalesce over the column's historical
         physical names (newest first) — the parquet stand-in for column IDs.
+
+        `version` time-travels to an older snapshot (manifests are retained;
+        valid until `vacuum()` expires that snapshot's files, exactly
+        Iceberg's snapshot-expiry contract).
         """
-        m = self._read_manifest(self.current_version())
+        m = self._read_manifest(
+            self.current_version() if version is None else version
+        )
         spec = m["schema"]
         files_by_bucket = m["buckets"]
         if buckets is not None:
@@ -238,12 +247,66 @@ class SnapshotTable:
             out = lww_latest_window(out, keys=self.keys, order_col="_lsn")
         return out
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Public final-state view: tombstones filtered, internals dropped."""
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Public final-state view: tombstones filtered, internals dropped.
+
+        `version` = time travel (`None` = current snapshot).
+        """
         return (
-            self.read_internal(spark)
+            self.read_internal(spark, version=version)
             .filter(F.col("_op") != F.lit("d"))
             .drop("_lsn", "_op", "bucket")
+        )
+
+    def changes_between(
+        self, spark: SparkSession, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Change data feed between two snapshots: one row per key whose
+        state differs, classified insert / update / delete.
+
+        The downstream face of a CDC engine — consumers incrementally follow
+        the target table the same way this engine follows its source WAL.
+        Implemented as a keyed full-outer join of the two snapshots' internal
+        states (per-bucket co-partitioned at scale); `_change_lsn` carries
+        the LSN that produced the new state, so feeds compose transitively.
+        """
+        a = self.read_internal(spark, version=v_from).alias("a")
+        b = self.read_internal(spark, version=v_to).alias("b")
+        cond = None
+        for k in self.keys:
+            eq = F.col(f"a.{k}") == F.col(f"b.{k}")
+            cond = eq if cond is None else cond & eq
+        j = a.join(b, cond, "full_outer")
+        a_live = (F.col("a._lsn").isNotNull()) & (F.col("a._op") != "d")
+        b_live = (F.col("b._lsn").isNotNull()) & (F.col("b._op") != "d")
+        change = (
+            F.when(~a_live & b_live, F.lit("insert"))
+            # delete covers both a visible tombstone in b AND a key that is
+            # entirely absent from b (tombstone expired by compaction)
+            .when(a_live & ~b_live, F.lit("delete"))
+            .when(
+                a_live & b_live & (F.col("b._lsn") > F.col("a._lsn")),
+                F.lit("update"),
+            )
+            .otherwise(F.lit(None))
+        )
+        logical = self.columns()
+        payload_side = [
+            F.coalesce(F.col(f"b.{c}"), F.col(f"a.{c}")).alias(c)
+            for c in logical
+            if c not in self.keys
+        ]
+        return (
+            j.select(
+                change.alias("change_type"),
+                *[
+                    F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k)
+                    for k in self.keys
+                ],
+                *payload_side,
+                F.coalesce(F.col("b._lsn"), F.col("a._lsn")).alias("_change_lsn"),
+            )
+            .filter(F.col("change_type").isNotNull())
         )
 
     # ---------------- MERGE ----------------
