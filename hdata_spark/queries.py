@@ -701,6 +701,26 @@ def emb_centroids_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").applyInPandas(centroid, schema=schema)
 
 
+_CORRELATED_SQL = """
+    SELECT o.o_custkey, count(*) AS n_at_max,
+           CAST(max(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+    FROM orders o
+    WHERE o.o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+    GROUP BY o.o_custkey
+    """
+
+
+@query("sql_correlated_subquery", _CORRELATED_SQL)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the spark.sql surface — the SAME
+    SQL string runs on both engines; Catalyst decorrelates it into an
+    aggregate + join (no per-row re-execution). Demonstrates the engine's
+    SQL entry path alongside the DataFrame API used everywhere else."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)
+
+
 @query(
     "window_running_total",
     """

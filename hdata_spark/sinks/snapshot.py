@@ -50,6 +50,10 @@ from pyspark.sql import types as T
 
 from hdata_spark.operators.dedup import lww_latest
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the snapshot version this commit targeted."""
+
+
 BASE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 # Engine-maintained derived column: sha256 of content, computed by the
 # replay pipeline's vectorized transform (north-star UDF; also the per-row
@@ -134,12 +138,33 @@ class SnapshotTable:
         return m
 
     def _commit(self, version: int, manifest: dict) -> None:
+        """Atomic snapshot commit with optimistic concurrency.
+
+        A commit claims `version` by creating its manifest with O_EXCL —
+        exactly one of two racing writers wins (same optimistic protocol as
+        an Iceberg catalog swap); the loser gets ConcurrentCommitError and
+        must re-read + retry on top of the winner's snapshot. The pointer
+        swap afterwards is the atomic publish (os.replace).
+        """
+        if version != self.current_version() + 1:
+            raise ConcurrentCommitError(
+                f"stale snapshot: committing v{version} but table is at "
+                f"v{self.current_version()}"
+            )
         manifest["version"] = version
         path = self._manifest_path(version)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, path)
+        try:
+            # exclusive link: fails if another writer claimed this version
+            os.link(tmp, path)
+        except FileExistsError:
+            os.remove(tmp)
+            raise ConcurrentCommitError(
+                f"lost race for snapshot v{version}: another writer committed"
+            ) from None
+        os.remove(tmp)
         ptr_tmp = self._pointer + f".tmp-{uuid.uuid4().hex}"
         with open(ptr_tmp, "w") as f:
             f.write(str(version))

@@ -68,6 +68,32 @@ def test_tombstone_expiry(spark, tmp_path):
     assert table.read(spark).count() == 0
 
 
+def test_concurrent_commit_loses_cleanly(spark, tmp_path):
+    """Two writers racing for the same snapshot version: exactly one wins,
+    the loser gets ConcurrentCommitError and the table stays consistent."""
+    import pytest
+
+    from hdata_spark.sinks.snapshot import ConcurrentCommitError
+
+    t = SnapshotTable(str(tmp_path / "t"), n_buckets=4)
+    rows = spark.createDataFrame(
+        pd.DataFrame(
+            [{"repo": "o/r", "path": "a.py", "commit": "c", "lang": "python",
+              "content": "v", "lsn": 1, "op": "insert"}]
+        )
+    )
+    t.merge(spark, rows)
+    v = t.current_version()
+    # writer B commits v+1 under writer A's feet
+    m = t._read_manifest(v)
+    t._commit(v + 1, dict(m))
+    # writer A (stale view of the table at v) now tries the same version
+    with pytest.raises(ConcurrentCommitError):
+        t._commit(v + 1, dict(m))
+    assert t.current_version() == v + 1
+    assert t.read(spark).count() == 1
+
+
 def test_vacuum_removes_unreferenced_files(spark, tmp_path, small_fixture):
     base, events = small_fixture
     table = SnapshotTable(str(tmp_path / "t"), n_buckets=8)
