@@ -34,6 +34,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def salt_counts(
+    counts: dict[str, int],
+    threshold: float = 4.0,
+    target_rows_per_task: int | None = None,
+    max_salts: int = 64,
+) -> dict[str, int]:
+    """The salting POLICY, shared by every detector: keys whose row mass
+    exceeds `threshold` x the mean get ceil(rows / target) salt buckets
+    (floor 2, capped at max_salts). Input is a plain {key: row_count} dict —
+    computed from a groupBy here, from ledger metrics in the replay loop."""
+    if not counts:
+        return {}
+    mean = sum(counts.values()) / len(counts)
+    if target_rows_per_task is None:
+        # aim to split a hot key back down to ~mean-sized chunks
+        target_rows_per_task = max(int(mean), 1)
+    return {
+        k: int(min(max_salts, max(2, -(-n // target_rows_per_task))))
+        for k, n in counts.items()
+        if n > threshold * mean
+    }
+
+
 def build_salt_map(
     df: DataFrame,
     key: str = "repo",
@@ -41,25 +64,17 @@ def build_salt_map(
     target_rows_per_task: int | None = None,
     max_salts: int = 64,
 ) -> dict[str, int]:
-    """Detect hot keys: rows > threshold * mean(rows per key) -> salt count.
-
-    One aggregation job over `df`; returns {} when nothing is hot. At 100 TB
-    run this on a sampled or metadata-derived count, or maintain it
-    incrementally in the metrics table — the contract is just a dict.
-    """
-    counts = df.groupBy(key).count().collect()
-    if not counts:
-        return {}
-    mean = sum(r["count"] for r in counts) / len(counts)
-    if target_rows_per_task is None:
-        # aim to split a hot key back down to ~mean-sized chunks
-        target_rows_per_task = max(int(mean), 1)
-    salt_map: dict[str, int] = {}
-    for r in counts:
-        if r["count"] > threshold * mean:
-            n = min(max_salts, max(2, -(-r["count"] // target_rows_per_task)))
-            salt_map[r[key]] = int(n)
-    return salt_map
+    """Detect hot keys with one aggregation job over `df`; returns {} when
+    nothing is hot. At 100 TB run this on a sampled or metadata-derived
+    count, or maintain it incrementally in the metrics table — the contract
+    is just a dict (policy in `salt_counts`)."""
+    rows = df.groupBy(key).count().collect()
+    return salt_counts(
+        {r[key]: r["count"] for r in rows},
+        threshold=threshold,
+        target_rows_per_task=target_rows_per_task,
+        max_salts=max_salts,
+    )
 
 
 def with_salt(

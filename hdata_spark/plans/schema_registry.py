@@ -81,7 +81,17 @@ class SchemaRegistry:
     # ---------------- evolution ----------------
 
     def apply_change(self, kind: str, column: str, arg: str, at_lsn: int) -> list[dict]:
-        """Apply one schema_change event; returns the new spec."""
+        """Apply one schema_change event; returns the new spec.
+
+        IDEMPOTENT per LSN: re-applying a change that already produced a
+        version (same since_lsn) is a no-op. This is load-bearing for crash
+        recovery — a crash after the registry persisted but before the
+        epoch's ledger commit makes resume re-process the epoch, and the
+        replayed schema_change event must not raise (LSNs are globally
+        unique, so since_lsn identifies the event exactly).
+        """
+        if any(v["since_lsn"] == at_lsn for v in self.versions):
+            return self.spec
         spec = [dict(c, sources=list(c["sources"])) for c in self.spec]
         names = {c["name"] for c in spec}
         if kind == "add":

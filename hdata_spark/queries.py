@@ -1174,13 +1174,7 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # emb_* — embedding similarity
 # =====================================================================
 
-def _dot(a, b):
-    """Sequential double-precision dot product (matches DuckDB list ops)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+from hdata_spark.operators.similarity import dot as _dot  # noqa: E402 (shared impl)
 
 
 @query(

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hdata_spark.operators.dedup import lww_latest
+from hdata_spark.operators.dedup import lww_latest_window
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed the snapshot version this commit targeted."""
@@ -102,6 +102,18 @@ class SnapshotTable:
         self.n_buckets = n_buckets
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        # An EXISTING table's layout is authoritative: keys/n_buckets are
+        # recorded in the manifest at first commit, and reopening with
+        # different constructor args must not silently re-bucket (a merge
+        # planned with the wrong bucket count would miss stored rows and
+        # duplicate keys). Stored layout wins over constructor defaults.
+        v = self.current_version()
+        if v > 0:
+            m = self._read_manifest(v)
+            if "keys" in m:
+                self.keys = list(m["keys"])
+            if "n_buckets" in m:
+                self.n_buckets = int(m["n_buckets"])
 
     # ---------------- manifest / pointer plumbing ----------------
 
@@ -128,6 +140,7 @@ class SnapshotTable:
                 "gen": 0,
                 "gen_specs": {"0": spec},
                 "file_gens": {},
+                "delta_files": [],
             }
         with open(self._manifest_path(version)) as f:
             m = json.load(f)
@@ -135,6 +148,7 @@ class SnapshotTable:
         m.setdefault("gen", 0)
         m.setdefault("gen_specs", {"0": m["schema"]})
         m.setdefault("file_gens", {})
+        m.setdefault("delta_files", [])
         return m
 
     def _commit(self, version: int, manifest: dict) -> None:
@@ -152,6 +166,9 @@ class SnapshotTable:
                 f"v{self.current_version()}"
             )
         manifest["version"] = version
+        manifest["keys"] = list(self.keys)
+        manifest["n_buckets"] = self.n_buckets
+        manifest["has_deltas"] = bool(manifest.get("delta_files"))
         path = self._manifest_path(version)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -267,8 +284,6 @@ class SnapshotTable:
             # epochs can duplicate an exact (key, lsn) row and exactly one
             # copy must survive). This is the MOR read-amplification trade:
             # reads pay one keyed shuffle until `compact()` folds the deltas.
-            from hdata_spark.operators.dedup import lww_latest_window
-
             out = lww_latest_window(out, keys=self.keys, order_col="_lsn")
         return out
 
@@ -283,6 +298,26 @@ class SnapshotTable:
             .drop("_lsn", "_op", "bucket")
         )
 
+    def _align_to_current(self, df: DataFrame) -> DataFrame:
+        """Project a (possibly older-version) internal frame to the current
+        logical schema: resolve renames via source lineage, cast widened
+        types, null-fill columns the old version lacked."""
+        present = set(df.columns)
+        cols = []
+        for c in self.schema_spec():
+            sources = [s for s in c["sources"] if s in present]
+            if not sources:
+                cols.append(F.lit(None).cast(c["type"]).alias(c["name"]))
+            elif len(sources) == 1:
+                cols.append(F.col(sources[0]).cast(c["type"]).alias(c["name"]))
+            else:
+                cols.append(
+                    F.coalesce(*[F.col(s) for s in sources])
+                    .cast(c["type"])
+                    .alias(c["name"])
+                )
+        return df.select(*cols, "_lsn", "_op")
+
     def changes_between(
         self, spark: SparkSession, v_from: int, v_to: int | None = None
     ) -> DataFrame:
@@ -294,9 +329,17 @@ class SnapshotTable:
         Implemented as a keyed full-outer join of the two snapshots' internal
         states (per-bucket co-partitioned at scale); `_change_lsn` carries
         the LSN that produced the new state, so feeds compose transitively.
+
+        Both sides are projected to the CURRENT logical schema first (rename
+        lineage + widen casts + null-fill), so a feed spanning a schema
+        evolution boundary is well-formed.
         """
-        a = self.read_internal(spark, version=v_from).alias("a")
-        b = self.read_internal(spark, version=v_to).alias("b")
+        a = self._align_to_current(
+            self.read_internal(spark, version=v_from)
+        ).alias("a")
+        b = self._align_to_current(
+            self.read_internal(spark, version=v_to)
+        ).alias("b")
         cond = None
         for k in self.keys:
             eq = F.col(f"a.{k}") == F.col(f"b.{k}")
@@ -380,7 +423,12 @@ class SnapshotTable:
                 batch = batch.withColumn(name, F.lit(None).cast(spec_t))
 
         if not batch_deduped:
-            batch = lww_latest(batch, self.keys, "lsn")
+            # Window variant, NOT the semi-join plan: direct callers (full
+            # loads, jobspec upserts) may carry TIED lsn values — e.g.
+            # overwrite() stamps every row lsn=0 — and a semi join on the
+            # max lsn keeps every tied row, breaking the table's
+            # one-row-per-key invariant. row_number keeps exactly one.
+            batch = lww_latest_window(batch, self.keys, "lsn")
         batch = batch.withColumn("bucket", self._bucket_expr())
         if affected is None:
             # Affected buckets: tiny collect (<= n_buckets ints).
@@ -464,11 +512,13 @@ class SnapshotTable:
 
         new_buckets = dict(manifest["buckets"])
         file_gens = dict(manifest["file_gens"])
+        delta_files = set(manifest["delta_files"])
         gen = int(manifest["gen"])
         written = 0
         for b in affected:
             for old in new_buckets.get(str(b), []):
                 file_gens.pop(old, None)
+                delta_files.discard(old)
             bdir = os.path.join(out_abs, f"bucket={b}")
             if os.path.isdir(bdir):
                 fs = [
@@ -482,7 +532,12 @@ class SnapshotTable:
             for f in fs:
                 file_gens[f] = gen
             written += len(fs)
-        manifest.update(buckets=new_buckets, file_gens=file_gens, schema=spec)
+        manifest.update(
+            buckets=new_buckets,
+            file_gens=file_gens,
+            schema=spec,
+            delta_files=sorted(delta_files),
+        )
         self._commit(version + 1, manifest)
         return {
             "version": version + 1,
@@ -512,6 +567,7 @@ class SnapshotTable:
         new_buckets = dict(manifest["buckets"])
         file_gens = dict(manifest["file_gens"])
         gen = int(manifest["gen"])
+        delta_files = list(manifest["delta_files"])
         n_files = 0
         for b, fs in files_by_bucket.items():
             if not fs:
@@ -519,8 +575,11 @@ class SnapshotTable:
             new_buckets[str(b)] = list(new_buckets.get(str(b), [])) + list(fs)
             for f in fs:
                 file_gens[f] = gen
+            delta_files.extend(fs)
             n_files += len(fs)
-        manifest.update(buckets=new_buckets, file_gens=file_gens, has_deltas=True)
+        manifest.update(
+            buckets=new_buckets, file_gens=file_gens, delta_files=delta_files
+        )
         self._commit(version + 1, manifest)
         return {
             "version": version + 1,
@@ -529,6 +588,12 @@ class SnapshotTable:
         }
 
     def delta_file_count(self) -> int:
+        """Number of UNCOMPACTED delta files (the MOR compaction trigger);
+        0 after compact()."""
+        m = self._read_manifest(self.current_version())
+        return len(m["delta_files"])
+
+    def data_file_count(self) -> int:
         m = self._read_manifest(self.current_version())
         return sum(len(fs) for fs in m["buckets"].values())
 
@@ -612,7 +677,7 @@ class SnapshotTable:
                 "file_gens": {
                     f: gen for fs in new_buckets.values() for f in fs
                 },
-                "has_deltas": False,
+                "delta_files": [],
             },
         )
         return {"version": version + 1, "buckets": len(new_buckets)}

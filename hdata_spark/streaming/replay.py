@@ -105,18 +105,17 @@ def _transform(data: DataFrame, registry: SchemaRegistry, cfg: ReplayConfig) -> 
 
 
 def _salt_map_from(per_repo: list, cfg: ReplayConfig) -> dict[str, int]:
+    """Hot-key salt plan from this epoch's per-repo metrics rows (shared
+    policy: operators.partitioning.salt_counts)."""
     if not (cfg.detect_skew and per_repo):
         return {}
-    mean_repo = sum(r["applied_events"] for r in per_repo) / len(per_repo)
-    salt_map = {}
-    for r in per_repo:
-        if r["applied_events"] > cfg.salt_threshold * mean_repo:
-            n = min(
-                cfg.max_salts,
-                max(2, -(-int(r["applied_events"]) // max(int(mean_repo), 1))),
-            )
-            salt_map[r["repo"]] = int(n)
-    return salt_map
+    from hdata_spark.operators.partitioning import salt_counts
+
+    return salt_counts(
+        {r["repo"]: int(r["applied_events"]) for r in per_repo},
+        threshold=cfg.salt_threshold,
+        max_salts=cfg.max_salts,
+    )
 
 
 def _apply_schema_changes(

@@ -108,3 +108,62 @@ def test_vacuum_removes_unreferenced_files(spark, tmp_path, small_fixture):
     removed = table.vacuum()
     assert removed > 0
     assert sha256_fingerprint(table.read(spark).toPandas()) == fp
+
+
+def test_delta_file_count_zero_after_compact(spark, tmp_path, small_fixture):
+    base, events = small_fixture
+    table = SnapshotTable(str(tmp_path / "t"), n_buckets=8)
+    table.overwrite(spark, spark.createDataFrame(base))
+    replay(
+        spark, spark.createDataFrame(events), table,
+        CommitLedger(str(tmp_path / "l")), MetricsLog(str(tmp_path / "m")),
+        SchemaRegistry(state_path=str(tmp_path / "r.json")),
+        ReplayConfig(compact_at_end=False),
+    )
+    assert table.delta_file_count() > 0
+    table.compact(spark)
+    assert table.delta_file_count() == 0  # counts DELTAS, not data files
+    assert table.data_file_count() > 0
+    # empty fast-append must not set the MOR flag (no pointless read shuffle)
+    table.register_deltas({})
+    assert table.delta_file_count() == 0
+    m = table._read_manifest(table.current_version())
+    assert not m["has_deltas"]
+
+
+def test_overwrite_with_duplicate_keys_keeps_one_row(spark, tmp_path):
+    """Tied LSNs (overwrite stamps lsn=0) must not defeat the merge dedup."""
+    table = SnapshotTable(str(tmp_path / "t"), n_buckets=4)
+    dup = pd.DataFrame(
+        [
+            {"repo": "o/r", "path": "a.py", "commit": "c1", "lang": "python",
+             "content": "v1"},
+            {"repo": "o/r", "path": "a.py", "commit": "c2", "lang": "python",
+             "content": "v2"},
+            {"repo": "o/r", "path": "b.py", "commit": "c3", "lang": "python",
+             "content": "v3"},
+        ]
+    )
+    table.overwrite(spark, spark.createDataFrame(dup))
+    out = table.read(spark).toPandas()
+    assert len(out) == 2  # exactly one row per key
+    assert set(out["path"]) == {"a.py", "b.py"}
+
+
+def test_reopen_with_different_layout_adopts_stored(spark, tmp_path):
+    """Manifest-recorded keys/n_buckets win over constructor defaults: a
+    mismatched reopen must not silently re-bucket merges."""
+    t1 = SnapshotTable(str(tmp_path / "t"), n_buckets=16)
+    rows = pd.DataFrame(
+        [{"repo": "o/r", "path": f"f{i}.py", "commit": "c", "lang": "python",
+          "content": f"v{i}", "lsn": i + 1, "op": "insert"} for i in range(20)]
+    )
+    t1.merge(spark, spark.createDataFrame(rows)); assert t1.n_buckets == 16
+    # reopen with the (different) default bucket count
+    t2 = SnapshotTable(str(tmp_path / "t"))
+    assert t2.n_buckets == 16 and t2.keys == ["repo", "path"]
+    upd = rows.iloc[[0]].assign(lsn=99, content="new")
+    t2.merge(spark, spark.createDataFrame(upd))
+    out = t2.read(spark).toPandas()
+    assert len(out) == 20  # no duplicated key from a mis-bucketed merge
+    assert out.set_index("path").loc["f0.py", "content"] == "new"

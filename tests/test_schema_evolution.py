@@ -158,3 +158,40 @@ def test_rename_reads_old_physical_files(spark, tmp_path):
     table.compact(spark)
     out3 = table.read(spark).toPandas()
     assert out3.iloc[0]["stargazers"] == 7
+
+
+def test_crash_window_in_schema_change_epoch_resumes(spark, tmp_path, evo_cfg):
+    """Crash AFTER the registry persisted a change but BEFORE the epoch's
+    ledger commit: resume re-processes the epoch and the re-applied
+    schema_change must be an idempotent no-op (not a ValueError)."""
+    import os
+
+    base, events = generate_base(evo_cfg), generate_events(evo_cfg)
+    table, ledger, metrics, registry = _engine(tmp_path)
+    table.overwrite(spark, spark.createDataFrame(base))
+    ev = spark.createDataFrame(events)
+    replay(spark, ev, table, ledger, metrics, registry)
+    fp_versions = list(registry.versions)
+    # simulate the crash window for EVERY epoch that carried a schema change:
+    # drop its ledger entry while the registry file keeps the change
+    sc_epochs = sorted(set(events[events["op"] == "schema_change"]["epoch"]))
+    for e in sc_epochs:
+        os.remove(os.path.join(ledger.root, f"epoch_{int(e):08d}.json"))
+    registry2 = SchemaRegistry(state_path=str(tmp_path / "r.json"))
+    stats = replay(spark, ev, table, ledger, metrics, registry2)
+    assert stats["epochs_applied"] == len(sc_epochs)
+    assert registry2.versions == fp_versions  # no duplicate versions
+    out = table.read(spark).toPandas()
+    assert_state_equal(
+        out.drop(columns=["stargazers", "content_sha256"]),
+        oracle_final_state(base, events),
+    )
+
+
+def test_registry_apply_change_idempotent_per_lsn(tmp_path):
+    reg = SchemaRegistry(state_path=str(tmp_path / "r.json"))
+    reg.apply_change("add", "stars", "int", at_lsn=5)
+    n = len(reg.versions)
+    spec = reg.apply_change("add", "stars", "int", at_lsn=5)  # crash re-apply
+    assert len(reg.versions) == n
+    assert any(c["name"] == "stars" for c in spec)

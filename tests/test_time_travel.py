@@ -113,3 +113,29 @@ def test_change_feed_sees_expired_tombstone_delete(spark, tmp_path):
     v3 = table.current_version()
     feed = table.changes_between(spark, v1, v3).collect()
     assert len(feed) == 1 and feed[0]["change_type"] == "delete"
+
+
+def test_change_feed_across_schema_evolution(spark, tmp_path):
+    """CDF spanning add+rename boundaries: both sides project to the current
+    logical schema (lineage + null-fill), no unresolved columns."""
+    table = SnapshotTable(str(tmp_path / "t"), n_buckets=4)
+    mk = lambda rows: spark.createDataFrame(pd.DataFrame(rows))
+    table.merge(spark, mk([
+        {"repo": "o/r", "path": "a.py", "commit": "c1", "lang": "python",
+         "content": "a1", "lsn": 1, "op": "insert"},
+    ]))
+    v1 = table.current_version()
+    reg = SchemaRegistry(state_path=str(tmp_path / "r.json"))
+    reg.apply_change("add", "stars", "int", at_lsn=2)
+    table.evolve_schema(reg.spec)
+    table.merge(spark, mk([
+        {"repo": "o/r", "path": "b.py", "commit": "c3", "lang": "python",
+         "content": "b1", "stars": 5, "lsn": 3, "op": "insert"},
+    ]))
+    reg.apply_change("rename", "stars", "stargazers", at_lsn=4)
+    table.evolve_schema(reg.spec)
+    v2 = table.current_version()
+    feed = {r["path"]: r for r in table.changes_between(spark, v1, v2).collect()}
+    assert feed["b.py"]["change_type"] == "insert"
+    assert feed["b.py"]["stargazers"] == 5  # value resolves through rename
+    assert "a.py" not in feed  # unchanged rows are not emitted
