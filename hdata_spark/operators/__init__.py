@@ -9,6 +9,7 @@ from hdata_spark.operators.text_dedup import (
     lang_id_scores,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    ngram_jaccard_score,
     simhash_df,
     simhash_near_pairs,
 )

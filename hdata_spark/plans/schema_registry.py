@@ -80,6 +80,10 @@ class SchemaRegistry:
 
     # ---------------- evolution ----------------
 
+    def has_lsn(self, lsn: int) -> bool:
+        """True if a schema change at this LSN was already applied."""
+        return any(v["since_lsn"] == lsn for v in self.versions)
+
     def apply_change(self, kind: str, column: str, arg: str, at_lsn: int) -> list[dict]:
         """Apply one schema_change event; returns the new spec.
 
@@ -90,7 +94,7 @@ class SchemaRegistry:
         replayed schema_change event must not raise (LSNs are globally
         unique, so since_lsn identifies the event exactly).
         """
-        if any(v["since_lsn"] == at_lsn for v in self.versions):
+        if self.has_lsn(at_lsn):
             return self.spec
         spec = [dict(c, sources=list(c["sources"])) for c in self.spec]
         names = {c["name"] for c in spec}

@@ -122,11 +122,25 @@ class SnapshotTable:
         return os.path.join(self.root, "_latest")
 
     def current_version(self) -> int:
+        """Latest committed snapshot.
+
+        The pointer is the fast path; the manifests directory is the truth.
+        A crash between the exclusive manifest claim (os.link) and the
+        pointer swap leaves an ORPHAN manifest one version ahead — since
+        only ONE writer can ever claim a version, that orphan IS a
+        committed snapshot whose publish was lost, so it is adopted here
+        (otherwise every later commit of that version would collide
+        forever). The next successful commit re-advances the pointer.
+        """
         try:
             with open(self._pointer) as f:
-                return int(f.read().strip())
+                ptr = int(f.read().strip())
         except FileNotFoundError:
-            return 0
+            ptr = 0
+        v = ptr
+        while os.path.exists(self._manifest_path(v + 1)):
+            v += 1
+        return v
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.root, "manifests", f"v{version:08d}.json")
@@ -168,7 +182,12 @@ class SnapshotTable:
         manifest["version"] = version
         manifest["keys"] = list(self.keys)
         manifest["n_buckets"] = self.n_buckets
-        manifest["has_deltas"] = bool(manifest.get("delta_files"))
+        # Sticky until compaction: a manifest that was ever marked
+        # has_deltas without per-file tracking (legacy) keeps resolving at
+        # read time — conservative direction (extra window, never wrong).
+        manifest["has_deltas"] = bool(manifest.get("delta_files")) or bool(
+            manifest.get("has_deltas")
+        )
         path = self._manifest_path(version)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -359,8 +378,12 @@ class SnapshotTable:
             .otherwise(F.lit(None))
         )
         logical = self.columns()
+        # Payload comes from the NEW side whenever its row exists — a
+        # coalesce would resurrect the old value for updates that set a
+        # column to NULL. Only deletes-by-absence fall back to the old row.
+        b_present = F.col("b._lsn").isNotNull()
         payload_side = [
-            F.coalesce(F.col(f"b.{c}"), F.col(f"a.{c}")).alias(c)
+            F.when(b_present, F.col(f"b.{c}")).otherwise(F.col(f"a.{c}")).alias(c)
             for c in logical
             if c not in self.keys
         ]
@@ -372,7 +395,10 @@ class SnapshotTable:
                     for k in self.keys
                 ],
                 *payload_side,
-                F.coalesce(F.col("b._lsn"), F.col("a._lsn")).alias("_change_lsn"),
+                # The LSN that PRODUCED the new state. NULL for a delete
+                # whose tombstone was already expired (provenance unknown —
+                # consumers must assign their own ordering for those).
+                F.col("b._lsn").alias("_change_lsn"),
             )
             .filter(F.col("change_type").isNotNull())
         )

@@ -130,11 +130,15 @@ def _apply_schema_changes(
         .orderBy("lsn")
         .collect()
     )
+    applied = 0
     for ch in changes:
+        if registry.has_lsn(ch["lsn"]):
+            continue  # crash-resume re-delivery: already applied
         registry.apply_change(ch["sc_kind"], ch["sc_column"], ch["sc_arg"], ch["lsn"])
-    if changes:
+        applied += 1
+    if applied:
         table.evolve_schema(registry.spec)
-    return len(changes)
+    return applied
 
 
 def _commit_epoch(

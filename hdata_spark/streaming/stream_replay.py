@@ -65,9 +65,13 @@ def apply_change_batch(
         .orderBy("lsn")
         .collect()
     )
+    applied = 0
     for ch in changes:
+        if registry.has_lsn(ch["lsn"]):
+            continue  # re-delivered batch: change already applied
         registry.apply_change(ch["sc_kind"], ch["sc_column"], ch["sc_arg"], ch["lsn"])
-    if changes:
+        applied += 1
+    if applied:
         table.evolve_schema(registry.spec)
 
     data = batch.filter(F.col("op") != "schema_change").drop(

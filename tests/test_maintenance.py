@@ -167,3 +167,31 @@ def test_reopen_with_different_layout_adopts_stored(spark, tmp_path):
     out = t2.read(spark).toPandas()
     assert len(out) == 20  # no duplicated key from a mis-bucketed merge
     assert out.set_index("path").loc["f0.py", "content"] == "new"
+
+
+def test_orphan_manifest_adopted_after_crashed_publish(spark, tmp_path):
+    """Crash between the exclusive manifest claim and the pointer swap: the
+    orphan manifest is a committed snapshot whose publish was lost — it must
+    be adopted, not collide with every future commit."""
+    import json
+    import os
+
+    t = SnapshotTable(str(tmp_path / "t"), n_buckets=4)
+    t.merge(spark, spark.createDataFrame(pd.DataFrame(
+        [{"repo": "o/r", "path": "a.py", "commit": "c", "lang": "python",
+          "content": "v", "lsn": 1, "op": "insert"}]
+    )))
+    v = t.current_version()
+    # simulate the crash window: manifest for v+1 exists, pointer still at v
+    m = t._read_manifest(v)
+    m["version"] = v + 1
+    with open(t._manifest_path(v + 1), "w") as f:
+        json.dump(m, f)
+    assert t.current_version() == v + 1  # orphan adopted
+    # and the table is not wedged: the next commit proceeds on top of it
+    t.merge(spark, spark.createDataFrame(pd.DataFrame(
+        [{"repo": "o/r", "path": "b.py", "commit": "c2", "lang": "python",
+          "content": "w", "lsn": 2, "op": "insert"}]
+    )))
+    assert t.current_version() == v + 2
+    assert t.read(spark).count() == 2

@@ -139,3 +139,44 @@ def test_change_feed_across_schema_evolution(spark, tmp_path):
     assert feed["b.py"]["change_type"] == "insert"
     assert feed["b.py"]["stargazers"] == 5  # value resolves through rename
     assert "a.py" not in feed  # unchanged rows are not emitted
+
+
+def test_change_feed_reports_null_valued_updates(spark, tmp_path):
+    """An update that sets a column to NULL must surface the NULL, not the
+    previous value (coalesce would resurrect it)."""
+    table = SnapshotTable(str(tmp_path / "t"), n_buckets=4)
+    mk = lambda rows, s=None: spark.createDataFrame(pd.DataFrame(rows)) if s is None else spark.createDataFrame(rows, s)
+    table.merge(spark, mk([
+        {"repo": "o/r", "path": "a.py", "commit": "c1", "lang": "python",
+         "content": "a1", "lsn": 1, "op": "insert"},
+    ]))
+    v1 = table.current_version()
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, lsn long, op string")
+    table.merge(spark, mk([("o/r", "a.py", "c2", None, "a2", 2, "update")], schema))
+    v2 = table.current_version()
+    row = table.changes_between(spark, v1, v2).collect()[0]
+    assert row["change_type"] == "update"
+    assert row["lang"] is None  # NULL survives, old value not resurrected
+    assert row["content"] == "a2"
+
+
+def test_change_feed_expired_tombstone_has_unknown_lsn(spark, tmp_path):
+    """Delete detected only by absence (tombstone expired): provenance LSN
+    is unknown and must be NULL, not the old row's own LSN (a downstream
+    merge at the old LSN would tie and silently drop the delete)."""
+    table = SnapshotTable(str(tmp_path / "t"), n_buckets=4)
+    mk = lambda rows: spark.createDataFrame(pd.DataFrame(rows))
+    table.merge(spark, mk([
+        {"repo": "o/r", "path": "a.py", "commit": "c1", "lang": "python",
+         "content": "a1", "lsn": 1, "op": "insert"},
+    ]))
+    v1 = table.current_version()
+    table.merge(spark, mk([
+        {"repo": "o/r", "path": "a.py", "commit": None, "lang": None,
+         "content": None, "lsn": 2, "op": "delete"},
+    ]))
+    table.compact(spark, expire_tombstones_below_lsn=10)
+    feed = table.changes_between(spark, v1, table.current_version()).collect()
+    assert feed[0]["change_type"] == "delete"
+    assert feed[0]["_change_lsn"] is None
