@@ -419,7 +419,8 @@ def ref_text_sink_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_type_coerce",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events GROUP BY 1
     """,
@@ -440,7 +441,8 @@ def ref_type_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ref_shard_union",
     """
-    SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS key_sum
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
     FROM (
         SELECT * FROM orders WHERE o_orderkey % 4 = 0
         UNION ALL SELECT * FROM orders WHERE o_orderkey % 4 = 1
@@ -1319,7 +1321,8 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS bit
         FROM embeddings e, p),
     sig AS (SELECT vec_id,
-                   sum(bit * CAST(pow(2, plane) AS BIGINT)) AS sig
+                   CAST(sum(bit * CAST(pow(2, plane) AS BIGINT))
+                        AS BIGINT) AS sig
             FROM bits GROUP BY vec_id),
     sv AS (SELECT s.vec_id, s.sig, e.embedding
            FROM sig s JOIN embeddings e USING (vec_id))

@@ -40,6 +40,34 @@ def _norm(v):
     return v
 
 
+def _type_family(t: str) -> str:
+    """Collapse a declared column type to a cross-engine family.
+
+    The driver's value-hash distinguishes DuckDB HUGEINT (int128, from a bare
+    ``sum(INTEGER)``) from Spark's int64 even when values are equal — so
+    HUGEINT maps to its own family that no Spark type can match, forcing
+    oracles to ``CAST(sum(..) AS BIGINT)``.
+    """
+    t = t.strip().lower()
+    if t.startswith(("decimal", "numeric")):
+        return "dec"
+    if t.startswith(("array", "list")) or t.endswith("[]"):
+        return "arr"
+    if t.startswith(("struct", "row", "map")):
+        return "struct"
+    if t.startswith("timestamp"):
+        return "ts"
+    return {
+        "tinyint": "i64", "smallint": "i64", "int": "i64",
+        "integer": "i64", "bigint": "i64", "utinyint": "i64",
+        "usmallint": "i64", "uinteger": "i64",
+        "hugeint": "i128", "ubigint": "i128", "uhugeint": "i128",
+        "float": "f", "real": "f", "double": "f",
+        "string": "s", "varchar": "s",
+        "boolean": "b", "date": "date", "binary": "bin", "blob": "bin",
+    }.get(t, t)
+
+
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     normed = [tuple(_norm(r[i]) for i in order) for r in rows]
@@ -62,6 +90,18 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
+    # Declared-type parity (the driver hash-distinguishes int128 from int64)
+    duck_types = {
+        r[0]: r[1]
+        for r in duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    }
+    spark_types = dict(sdf.dtypes)
+    for col in spark_cols:
+        sf, df_ = _type_family(spark_types[col]), _type_family(duck_types[col])
+        assert sf == df_, (
+            f"{name}.{col}: type family mismatch spark={spark_types[col]}"
+            f"({sf}) vs duckdb={duck_types[col]}({df_})"
+        )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
