@@ -333,9 +333,16 @@ def _writer_snapshot(df: DataFrame, cfg: dict) -> None:
     if "op" not in df.columns:
         df = df.withColumn("op", F.lit("insert"))
     if "lsn" not in df.columns:
-        df = df.withColumn(
-            "lsn", F.col(lsn_col).cast("long") if lsn_col else F.lit(0).cast("long")
-        )
+        if lsn_col:
+            df = df.withColumn("lsn", F.col(lsn_col).cast("long"))
+        else:
+            # No LSN column: stamp the whole batch one past the stored max so
+            # re-running the job with changed payloads UPDATES existing keys
+            # (the sink's strict s.lsn > t._lsn rule would otherwise make an
+            # lsn-less upsert silently insert-only). Ties within the batch
+            # are resolved by the sink's window dedup.
+            stored_max = table.max_stored_lsn(spark)
+            df = df.withColumn("lsn", F.lit(stored_max + 1).cast("long"))
     table.merge(spark, df)
 
 

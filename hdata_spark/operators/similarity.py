@@ -80,17 +80,33 @@ def ivf_assign(
     centroids = vectors.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
     )
+    # SLIM argmax: the embedding payload never enters the aggregate. A
+    # row_number window (or a first(embedding) agg) would push n_cells
+    # copies of every embedding through a sort/immutable-buffer
+    # SortAggregate; instead the agg sees only (id, cell, packed ordering).
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
         id_col,
-        vec_col,
         "cell",
         F.round(cosine(F.col(vec_col), F.col("cv")), 9).alias("csim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cell")
+    # max_by ordering must be a fixed-width type to stay a HashAggregate
+    # (struct orderings demote to SortAggregate), so pack (csim desc, cell
+    # asc) into one BIGINT: csim is exact in 1e-9 units after round(.., 9),
+    # and cell < 2^20 by contract. Map-side partial agg collapses the
+    # n_cells candidate rows before the exchange.
+    packed = (
+        F.round(F.col("csim") * F.lit(1_000_000_000)).cast("long")
+        * F.lit(1 << 20)
+        - F.col("cell")
+    )
+    cells = scored.groupBy(id_col).agg(
+        F.max_by(F.col("cell"), packed).alias("cell")
+    )
+    # Winners join back on the unique id alone (the LWW-dedup pattern):
+    # shuffle_hash pins a sort-free join; each embedding crosses the wire
+    # exactly once.
+    return vectors.select(id_col, vec_col).join(
+        cells.hint("shuffle_hash"), id_col, "inner"
     )
 
 

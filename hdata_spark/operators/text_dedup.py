@@ -59,9 +59,12 @@ def minhash_col(shingles: Column, perm: int) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = N_PERMS,
 ) -> DataFrame:
-    """(id, mh0..mh{N_PERMS-1}) for docs with >= 3 tokens.
+    """(id, mh0..mh{n_perms-1}) for docs with >= 3 tokens.
 
     All N_PERMS min-hashes are folded in ONE `aggregate` pass over the
     shingle array (per shingle: N_PERMS md5s, element-wise `least` into the
@@ -101,17 +104,24 @@ def minhash_signatures(
         id_col,
         *[
             F.md5(F.concat(F.lit(f"{p}:"), F.col("_s"))).alias(f"h{p}")
-            for p in range(N_PERMS)
+            for p in range(n_perms)
         ],
     )
     return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{p}").alias(f"mh{p}") for p in range(N_PERMS)]
+        *[F.min(f"h{p}").alias(f"mh{p}") for p in range(n_perms)]
     )
 
 
-def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_bands(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_perms: int = N_PERMS,
+    n_bands: int = LSH_BANDS,
+) -> DataFrame:
     """Explode signatures into (id, band_idx, band_sig) — the LSH bucket key."""
-    r = N_PERMS // LSH_BANDS
+    if n_perms % n_bands:
+        raise ValueError(f"n_perms={n_perms} not divisible by n_bands={n_bands}")
+    r = n_perms // n_bands
     bands = F.array(
         *[
             F.struct(
@@ -120,7 +130,7 @@ def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])
                 ).alias("band_sig"),
             )
-            for b in range(LSH_BANDS)
+            for b in range(n_bands)
         ]
     )
     return sig.select(id_col, F.explode(bands).alias("band")).select(
@@ -137,8 +147,15 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_ids: int = MAX_BUCKET_IDS,
+    n_perms: int = N_PERMS,
+    n_bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing >= 1 LSH band bucket.
+
+    ``n_perms``/``n_bands`` default to the fixture-scale 8/4; at corpus scale
+    raise them (e.g. 128/16 — r = n_perms/n_bands rows per band sets the
+    similarity threshold ~ (1/n_bands)^(1/r)). The banding math below is
+    fully parameter-driven; nothing assumes the defaults.
 
     Pair generation is GROUP-side, not a self-join: one shuffle keyed on
     (band_idx, band_sig) collects each bucket's sorted id list, and pairs
@@ -155,7 +172,10 @@ def minhash_lsh_candidates(
     while bounding a bucket's expansion at ~20k pairs.
     Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
     """
-    bands = lsh_bands(minhash_signatures(df, text_col, id_col), id_col)
+    bands = lsh_bands(
+        minhash_signatures(df, text_col, id_col, n_perms=n_perms),
+        id_col, n_perms=n_perms, n_bands=n_bands,
+    )
     # Stage break before the bucket aggregation: collect_list is an
     # ObjectHashAggregate, which cannot whole-stage-codegen — WITHOUT this
     # exchange the ENTIRE upstream signature pipeline (shingles, 8x md5)
@@ -239,19 +259,34 @@ def simhash_sql_exprs() -> tuple[str, str]:
 
 def simhash_near_pairs(
     df: DataFrame,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_ids: int | None = None,
 ) -> DataFrame:
     """Pairs with simhash Hamming distance <= max_hamming.
 
-    Candidate generation: split the 32-bit hash into 4 byte-chunks and join
-    on chunk equality — by pigeonhole any pair within Hamming distance 6 of a
-    4-chunk split shares at least one exact chunk when distance < 4... (the
-    standard guarantee is distance <= chunks-1 = 3; wider radii trade recall).
-    Here we keep ALL chunk-collision candidates and filter exactly, so the
-    result is exact for distance <= 3 and high-recall above; the oracle uses
-    the same candidate rule, keeping both sides identical.
+    Candidate generation: split the 32-bit hash into 4 byte-chunks and bucket
+    on chunk equality. By pigeonhole this is RECALL-COMPLETE only for
+    distance <= chunks-1 = 3 (the default); a wider radius (e.g. the oracle
+    query's 6) keeps all chunk-collision candidates and filters exactly, so
+    it is exact for <= 3 and high-recall-but-incomplete above — pairs at
+    distance 4..max_hamming that differ in every chunk are missed. Callers
+    that widen the radius accept that recall loss explicitly.
+
+    Pair generation is GROUP-side (same pattern and rationale as
+    minhash_lsh_candidates): one shuffle keyed on (chunk_idx, chunk_val)
+    collects each bucket's sorted (id, simhash) list and expands pairs with
+    array HOFs inside the reduce task — the signature pipeline runs exactly
+    ONCE, where the previous self-join formulation recomputed it per side
+    (no ReusedExchange across alias subtrees; it was the slowest operator in
+    the round-1 bench at 2x the necessary cost).
+
+    ``max_bucket_ids`` (optional) caps a bucket at its first N sorted docs,
+    bounding the per-bucket quadratic expansion the way minhash's cap does.
+    Default None preserves the exact all-collisions contract (and oracle
+    parity); at corpus scale set it — and widen SIMHASH_BITS / chunk count —
+    since byte-chunks give only 4x256 buckets.
     """
     sh = simhash_df(df, text_col, id_col)
     chunks = sh.select(
@@ -275,23 +310,38 @@ def simhash_near_pairs(
         F.col("ch.chunk_idx").alias("chunk_idx"),
         F.col("ch.chunk_val").alias("chunk_val"),
     )
-    # Same exchange-barrier rationale as minhash_lsh_candidates.
+    # Same exchange-barrier rationale as minhash_lsh_candidates (collect_list
+    # is an ObjectHashAggregate — keep the simhash agg stage codegen'd).
     chunks = chunks.repartition(F.col("chunk_idx"), F.col("chunk_val"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    docs = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
+    )
+    if max_bucket_ids is not None:
+        docs = F.slice(docs, 1, max_bucket_ids)
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(docs.alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.col("p.a.i").alias("doc_a"),
+            F.col("p.b.i").alias("doc_b"),
+            F.expr("bit_count(p.a.s ^ p.b.s)").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -55,8 +55,12 @@ class SchemaRegistry:
                 saved = json.load(f)
             self.versions = saved["versions"]
         else:
+            # since_lsn=None for the seed version: no event produced it, so
+            # it must never collide with a real event LSN in has_lsn (a
+            # schema_change carrying lsn=0 would otherwise be silently
+            # swallowed as "already applied").
             self.versions = [
-                {"schema_version": 0, "since_lsn": 0, "spec": spec or _default_schema()}
+                {"schema_version": 0, "since_lsn": None, "spec": spec or _default_schema()}
             ]
             self._persist()
 
@@ -81,8 +85,14 @@ class SchemaRegistry:
     # ---------------- evolution ----------------
 
     def has_lsn(self, lsn: int) -> bool:
-        """True if a schema change at this LSN was already applied."""
-        return any(v["since_lsn"] == lsn for v in self.versions)
+        """True if a schema change at this LSN was already applied.
+
+        Only real event LSNs count — the seed version's since_lsn is None.
+        """
+        return any(
+            v["since_lsn"] is not None and v["since_lsn"] == lsn
+            for v in self.versions
+        )
 
     def apply_change(self, kind: str, column: str, arg: str, at_lsn: int) -> list[dict]:
         """Apply one schema_change event; returns the new spec.

@@ -896,7 +896,10 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_* dedup family — MinHash+LSH, SimHash, n-gram Jaccard, lang-ID
 # =====================================================================
 
-_MINHASH_SIG_SQL = """
+def minhash_sig_sql(n_perms: int = 8) -> str:
+    """DuckDB CTE chain ending in sig(doc_id, mh0..mh{n_perms-1}) —
+    parameter-driven twin of operators.text_dedup.minhash_signatures."""
+    head = """
     WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
                FROM documents),
     sh AS (SELECT doc_id,
@@ -905,36 +908,51 @@ _MINHASH_SIG_SQL = """
            FROM t WHERE len(toks) >= 3),
     sig AS (SELECT doc_id,
 """
-_MINHASH_SIG_SQL += ",\n".join(
-    f"        list_min([md5('{p}:' || s) for s in shingles]) AS mh{p}"
-    for p in range(8)
-) + "\n        FROM sh)"
+    return head + ",\n".join(
+        f"        list_min([md5('{p}:' || s) for s in shingles]) AS mh{p}"
+        for p in range(n_perms)
+    ) + "\n        FROM sh)"
 
 
-@query(
-    "doc_dedup_minhash_lsh",
-    _MINHASH_SIG_SQL
-    + """,
+def minhash_lsh_oracle_sql(
+    n_perms: int = 8, n_bands: int = 4, max_bucket_ids: int = 200
+) -> str:
+    """Full DuckDB oracle for minhash_lsh_candidates at any (n_perms, n_bands).
+
+    Band hashing, bucket cap, and group-side pair expansion are generated
+    from the parameters exactly as the Spark operator derives them — nothing
+    assumes the 8/4 defaults (tested at 16/8 in test_text_ops)."""
+    r = n_perms // n_bands
+    band_rows = "\n        UNION ALL ".join(
+        ("SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_sig FROM sig"
+         if b == 0 else "SELECT doc_id, {b}, md5({cat}) FROM sig").format(
+            b=b, cat=" || '|' || ".join(f"mh{b * r + i}" for i in range(r))
+        )
+        for b in range(n_bands)
+    )
+    return minhash_sig_sql(n_perms) + f""",
     bands AS (
-        SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_sig FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+        {band_rows}),
     buckets AS (
         SELECT band_idx, band_sig,
-               (list_sort(list(doc_id)))[1:200] AS ids
+               (list_sort(list(doc_id)))[1:{max_bucket_ids}] AS ids
         FROM bands GROUP BY band_idx, band_sig
         HAVING len(list(doc_id)) >= 2),
     pairs AS (
         SELECT unnest(flatten(
-            [[{'a': ids[i], 'b': ids[j]}
+            [[{{'a': ids[i], 'b': ids[j]}}
               for j in range(i + 1, len(ids) + 1)]
              for i in range(1, len(ids) + 1)])) AS p
         FROM buckets)
     SELECT p.a AS doc_a, p.b AS doc_b, count(*) AS n_shared_bands
     FROM pairs GROUP BY 1, 2
-    """,
-)
+    """
+
+
+_MINHASH_SIG_SQL = minhash_sig_sql(8)
+
+
+@query("doc_dedup_minhash_lsh", minhash_lsh_oracle_sql())
 def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 3-word shingles -> 8 min-hashes ->
     4 bands -> bucket equi-join (never n^2; shuffle keyed by band bucket)."""

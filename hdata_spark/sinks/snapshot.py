@@ -212,6 +212,15 @@ class SnapshotTable:
     def columns(self) -> list[str]:
         return [c["name"] for c in self.schema_spec()]
 
+    def max_stored_lsn(self, spark: SparkSession) -> int:
+        """Highest _lsn in the current snapshot (0 for an empty table).
+
+        Column-pruned single-column agg — parquet row-group stats keep this
+        a near-footer-only scan even on a wide table.
+        """
+        row = self.read_internal(spark).agg(F.max("_lsn")).collect()[0]
+        return int(row[0]) if row[0] is not None else 0
+
     # ---------------- reads ----------------
 
     def _bucket_expr(self):
@@ -645,6 +654,11 @@ class SnapshotTable:
         """
         version = self.current_version()
         manifest = self._read_manifest(version)
+        if manifest["schema"] == new_spec:
+            # Idempotent: crash-resume may re-drive the same spec (the
+            # registry persisted but the table commit didn't land); a no-op
+            # re-apply must not churn versions or generations.
+            return version
         manifest["schema"] = new_spec
         gen = int(manifest["gen"]) + 1
         manifest["gen"] = gen

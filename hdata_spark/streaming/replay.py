@@ -136,7 +136,11 @@ def _apply_schema_changes(
             continue  # crash-resume re-delivery: already applied
         registry.apply_change(ch["sc_kind"], ch["sc_column"], ch["sc_arg"], ch["lsn"])
         applied += 1
-    if applied:
+    # Drive the table manifest from registry-vs-table drift, NOT from
+    # `applied`: a crash between registry persist and the table commit
+    # resumes with applied=0 but the manifest still behind — evolve_schema
+    # is idempotent, so re-driving an already-current spec is a no-op.
+    if applied or table.schema_spec() != registry.spec:
         table.evolve_schema(registry.spec)
     return applied
 

@@ -71,7 +71,10 @@ def apply_change_batch(
             continue  # re-delivered batch: change already applied
         registry.apply_change(ch["sc_kind"], ch["sc_column"], ch["sc_arg"], ch["lsn"])
         applied += 1
-    if applied:
+    # Same crash-window rule as batch replay (_apply_schema_changes): the
+    # manifest is driven from registry-vs-table drift so a resume after
+    # "registry persisted, table commit lost" still re-drives the schema.
+    if applied or table.schema_spec() != registry.spec:
         table.evolve_schema(registry.spec)
 
     data = batch.filter(F.col("op") != "schema_change").drop(
@@ -162,7 +165,16 @@ def stream_replay(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # Drain exceeded the bound: stop the query rather than returning a
+        # success-shaped dict over a mid-flight table.
+        q.stop()
+        q.awaitTermination()
+        raise TimeoutError(
+            f"stream_replay did not drain within {timeout_sec}s "
+            f"({n_batches['n']} batches committed; resume with the same "
+            f"checkpoint to continue)"
+        )
     return {
         "batches": n_batches["n"],
         "final_snapshot_version": table.current_version(),

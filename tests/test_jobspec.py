@@ -152,6 +152,41 @@ def test_parquet_to_snapshot_upsert_job(spark, tmp_path):
     assert out.loc["b.py", "content"] == "v1"  # stale lsn 0 lost to lsn 2
 
 
+def test_snapshot_upsert_without_lsn_column_updates_on_rerun(spark, tmp_path):
+    """An lsn-less upsert job stamps the batch one past the stored max LSN,
+    so re-running with changed payloads UPDATES keys (the reference's ON
+    DUPLICATE KEY UPDATE re-run semantics) instead of silently losing to the
+    sink's strict s.lsn > t._lsn rule."""
+    from hdata_spark.sinks.snapshot import SnapshotTable
+
+    def job(src):
+        run_job(
+            spark,
+            {
+                "reader": {"name": "parquet", "path": src},
+                "writer": {
+                    "name": "snapshot",
+                    "path": str(tmp_path / "snap"),
+                    "upsert.columns": "repo,path",
+                },
+            },
+        )
+
+    v0 = pd.DataFrame(
+        [{"repo": "o/r", "path": "a.py", "commit": "c0", "lang": "python",
+          "content": "v0"}]
+    )
+    src0 = str(tmp_path / "s0.parquet")
+    spark.createDataFrame(v0).write.parquet(src0)
+    job(src0)
+    v1 = v0.assign(commit="c1", content="v1")
+    src1 = str(tmp_path / "s1.parquet")
+    spark.createDataFrame(v1).write.parquet(src1)
+    job(src1)
+    out = SnapshotTable(str(tmp_path / "snap")).read(spark).toPandas()
+    assert len(out) == 1 and out.iloc[0]["content"] == "v1"
+
+
 def test_excel_roundtrip(spark, tmp_path):
     pytest.importorskip("openpyxl")
     df = spark.createDataFrame([("a", "1"), ("b", "2")], "k string, v string")

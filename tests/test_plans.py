@@ -95,6 +95,32 @@ def test_no_row_python_udfs_anywhere(spark, name):
     assert "BatchEvalPython" not in s, f"{name} uses a row-at-a-time Python UDF"
 
 
+def test_ivf_assign_no_window_no_sort(spark):
+    """The IVF argmax must be a max_by hash aggregate: a row_number window
+    would shuffle n_cells copies of every embedding through a sort."""
+    from hdata_spark.operators.similarity import ivf_assign
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    s = plan_of(ivf_assign(e, n_cells=16))
+    assert "Window" not in s
+    assert "Sort " not in s and "SortAggregate" not in s
+    assert "HashAggregate" in s or "ObjectHashAggregate" in s
+
+
+def test_simhash_pairs_single_signature_pass_no_join(spark):
+    """Pair expansion is GROUP-side: no self-join, so the signature pipeline
+    appears exactly once in the physical plan."""
+    from hdata_spark.operators.text_dedup import simhash_near_pairs
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = plan_of(simhash_near_pairs(d, max_hamming=6))
+    for join_op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in s, f"simhash pair expansion regressed to {join_op}"
+    # exactly one scan of the documents table feeds the pipeline
+    assert s.count("Scan parquet") == 1
+
+
 def test_pandas_udf_shows_arrow_exchange(spark):
     from hdata_spark.functions.text import sha256_pudf
 

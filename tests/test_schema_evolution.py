@@ -188,6 +188,66 @@ def test_crash_window_in_schema_change_epoch_resumes(spark, tmp_path, evo_cfg):
     )
 
 
+def test_resume_after_registry_persist_without_table_evolve(
+    spark, tmp_path, evo_cfg
+):
+    """Crash AFTER registry persist but BEFORE the table manifest commit:
+    resume sees applied=0 (has_lsn skips the change) — the table manifest
+    must still be re-driven from registry-vs-table drift, or evolved columns
+    silently vanish from merges and reads."""
+    base, events = generate_base(evo_cfg), generate_events(evo_cfg)
+    table, ledger, metrics, registry = _engine(tmp_path)
+    table.overwrite(spark, spark.createDataFrame(base))
+    # simulate the half-applied change: registry knows it, table does not
+    sc = events[events["op"] == "schema_change"].sort_values("lsn").iloc[0]
+    registry.apply_change(
+        sc["sc_kind"], sc["sc_column"], sc["sc_arg"], int(sc["lsn"])
+    )
+    assert table.schema_spec() != registry.spec
+    replay(spark, spark.createDataFrame(events), table, ledger, metrics, registry)
+    assert table.schema_spec() == registry.spec
+    out = table.read(spark).toPandas()
+    assert "stargazers" in out.columns
+    assert_state_equal(
+        out.drop(columns=["stargazers", "content_sha256"]),
+        oracle_final_state(base, events),
+    )
+
+
+def test_evolve_schema_reapply_is_noop(spark, tmp_path):
+    """Re-driving an already-current spec must not churn versions/gens."""
+    table = SnapshotTable(str(tmp_path / "t"), n_buckets=4)
+    table.overwrite(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame(
+                [{"repo": "o/r", "path": "a.py", "commit": "c", "lang": "py",
+                  "content": "v"}]
+            )
+        ),
+    )
+    spec = [dict(c, sources=list(c["sources"])) for c in table.schema_spec()]
+    spec.append({"name": "stars", "type": "int", "sources": ["stars"]})
+    v1 = table.evolve_schema(spec)
+    assert v1 == table.current_version()
+    v2 = table.evolve_schema(spec)  # crash-resume re-drive
+    assert v2 == v1 == table.current_version()
+
+
+def test_schema_change_at_lsn_zero_applies(tmp_path):
+    """The seed version's since_lsn must never collide with a real lsn=0
+    event — such a change must apply, not be swallowed as 'already done'."""
+    reg = SchemaRegistry(state_path=str(tmp_path / "r.json"))
+    assert not reg.has_lsn(0)
+    reg.apply_change("add", "stars", "int", at_lsn=0)
+    assert reg.has_lsn(0)
+    assert any(c["name"] == "stars" for c in reg.spec)
+    # and the idempotence contract still holds at lsn 0
+    n = len(reg.versions)
+    reg.apply_change("add", "stars", "int", at_lsn=0)
+    assert len(reg.versions) == n
+
+
 def test_registry_apply_change_idempotent_per_lsn(tmp_path):
     reg = SchemaRegistry(state_path=str(tmp_path / "r.json"))
     reg.apply_change("add", "stars", "int", at_lsn=5)

@@ -38,6 +38,34 @@ def test_minhash_short_docs_dropped_not_crashed(spark):
     assert ids == {2}  # only the >=3-token doc survives
 
 
+def test_minhash_lsh_parameterized_16_8_matches_oracle(spark):
+    """The banding math and oracle generation generalize past the 8/4
+    defaults: 16 perms / 8 bands, value-checked against DuckDB at sf0.001."""
+    import duckdb
+
+    from hdata_spark.queries import minhash_lsh_oracle_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_shared_bands"])
+        for r in minhash_lsh_candidates(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            n_perms=16, n_bands=8,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = set(
+        map(tuple, con.execute(
+            minhash_lsh_oracle_sql(n_perms=16, n_bands=8)
+        ).fetchall())
+    )
+    con.close()
+    assert got == want and len(want) > 0
+
+
 def test_minhash_identical_docs_always_candidates(spark):
     text = "the quick brown fox jumps over the lazy dog"
     d = _docs(spark, [(1, text), (2, text), (3, "totally different words here now")])
