@@ -76,6 +76,32 @@ def scrub_newlines(col: Column, replacement: str = " ") -> Column:
     return F.regexp_replace(col, "\r\n|\r|\n", replacement)
 
 
+def normalize_special_float(col: Column, convert_null: bool = False) -> Column:
+    """NaN / Infinity -> 0.0 for a float/double column (optionally NULL too).
+
+    Reference parity: hdata-hive/.../plugin/hive/HiveTypeUtils.java:87-132
+    (convertHiveSpecialValue — "NaN"/"Infinity" become 0 for numeric types).
+    Pure codegen'd CASE; no UDF.
+    """
+    bad = F.isnan(col) | (F.abs(col) == F.lit(float("inf")))
+    if convert_null:
+        bad = bad | col.isNull()
+    return F.when(bad, F.lit(0.0)).otherwise(col)
+
+
+def parse_int_empty_zero(col: Column, target: str = "bigint") -> Column:
+    """Typed string->int parse where empty string means 0.
+
+    Reference parity: hdata-hive/.../plugin/hive/HiveTypeUtils.java:40-58
+    (toJavaObjectSpecial — "" parses to 0 for int/bigint instead of failing).
+    Non-numeric non-empty strings still raise under ANSI mode, exactly like
+    the reference's Integer.parseInt.
+    """
+    return (
+        F.when(col == "", F.lit(0).cast(target)).otherwise(col.cast(target))
+    )
+
+
 def sha256_col(col: Column) -> Column:
     """sha256 hex digest of a string column — built-in (F.sha2, JVM-side)."""
     return F.sha2(col.cast("string"), 256)

@@ -67,24 +67,114 @@ def _schema_names(cfg: dict) -> list[str] | None:
     return [c.strip() for c in s.split(",")] if s else None
 
 
+_SHARD_PIECE_RE = re.compile(r"^(.*?)\[(\d+)-(\d+)\](.*)$")
+
+
+def expand_shards(content: str) -> list[str]:
+    """Shard-range expansion: ``table_[001-003]`` -> table_001..table_003.
+
+    Mirrors the reference's sharded-table syntax
+    (hdata-jdbc/.../reader/jdbc/JDBCSplitter.java:199-264): comma-separated
+    pieces, each optionally carrying one zero-padded ``[begin-end]`` range
+    (inclusive, order-insensitive per NumberUtils.java:12-22), deduplicated
+    and sorted. A piece without a range passes through unchanged.
+    """
+    out: set[str] = set()
+    for piece in (p.strip() for p in str(content).split(",")):
+        if not piece:
+            continue
+        m = _SHARD_PIECE_RE.match(piece)
+        if not m:
+            out.add(piece)
+            continue
+        pre, a, b, post = m.groups()
+        width = len(a)
+        lo, hi = sorted((int(a), int(b)))
+        out.update(f"{pre}{i:0{width}d}{post}" for i in range(lo, hi + 1))
+    return sorted(out)
+
+
+_NUMERIC_TYPES = ("integer", "long", "short", "byte", "float", "double", "decimal")
+
+
+def _read_side_transforms(df: DataFrame, cfg: dict) -> DataFrame:
+    """Reader-side scalar options (hdata-jdbc/.../reader/jdbc/
+    JDBCReader.java:129-134): ``null.string`` fills NULL string columns,
+    ``null.non.string`` fills NULL numeric columns (typed cast), and
+    ``field.wrap.replace.string`` scrubs embedded newlines from string
+    columns. All are codegen'd column expressions — no extra pass."""
+    string_cols = [
+        f_.name for f_ in df.schema.fields if f_.dataType.typeName() == "string"
+    ]
+    wrap = cfg.get("field.wrap.replace.string")
+    if wrap is not None and string_cols:
+        from hdata_spark.functions.text import scrub_newlines
+
+        for c in string_cols:
+            df = df.withColumn(c, scrub_newlines(F.col(c), wrap))
+    if cfg.get("null.string") is not None and string_cols:
+        df = df.fillna(cfg["null.string"], subset=string_cols)
+    if cfg.get("null.non.string") is not None:
+        v = cfg["null.non.string"]
+        for f_ in df.schema.fields:
+            if f_.dataType.typeName() in _NUMERIC_TYPES:
+                df = df.withColumn(
+                    f_.name,
+                    F.coalesce(F.col(f_.name), F.lit(v).cast(f_.dataType)),
+                )
+    return df
+
+
 # ---------------------------------------------------------------- readers
 
 def _reader_parquet(spark: SparkSession, cfg: dict) -> DataFrame:
-    """Lake-native scan (our engine's home format; Iceberg at cluster scale)."""
-    return spark.read.parquet(*str(cfg["path"]).split(","))
+    """Lake-native scan (our engine's home format; Iceberg at cluster scale).
+
+    `path` supports the shard-range syntax (`part_[000-031].parquet`) so a
+    sharded source expands to one multi-path scan — the lake analog of the
+    reference's sharded-table union, testable without a JDBC driver."""
+    return _read_side_transforms(
+        spark.read.parquet(*expand_shards(cfg["path"])), cfg
+    )
+
+
+# commons-csv dialect presets (hdata-csv/.../plugin/FormatConf.java:10-32)
+# mapped onto Spark csv options; explicit options override the preset.
+_CSV_DIALECTS: dict[str, dict[str, str]] = {
+    "default": {"sep": ",", "quote": '"', "escape": '"'},
+    "excel": {"sep": ",", "quote": '"', "escape": '"'},
+    # CSVFormat.MYSQL: tab-separated, backslash-escaped, unquoted, \N nulls
+    "mysql": {"sep": "\t", "quote": "\u0000", "escape": "\\",
+              "nullValue": "\\N"},
+    "tdf": {"sep": "\t", "quote": '"', "escape": '"'},
+    "rfc4180": {"sep": ",", "quote": '"', "escape": '"'},
+}
+
+
+def _csv_dialect_opts(cfg: dict) -> dict[str, str]:
+    fmt = str(cfg.get("format", "default")).lower()
+    if fmt not in _CSV_DIALECTS:
+        raise ValueError(
+            f"unknown csv format {fmt!r}; expected one of {sorted(_CSV_DIALECTS)}"
+        )
+    opts = dict(_CSV_DIALECTS[fmt])
+    if cfg.get("fields.separator"):
+        opts["sep"] = _unescape(cfg["fields.separator"])
+    return opts
 
 
 def _reader_csv(spark: SparkSession, cfg: dict) -> DataFrame:
     """CSV scan — reference S10 (hdata-csv/.../reader/csv/CSVReader.java:21-66):
-    `start.row` skip via header flag, comma-separated multi-path."""
+    `start.row` skip via header flag, comma-separated multi-path, dialect
+    presets via `format` (FormatConf.java:10-32)."""
     start_row = int(cfg.get("start.row", 0))
     reader = (
         spark.read.option("header", start_row > 0)
-        .option("sep", _unescape(cfg.get("fields.separator", ",")))
+        .options(**_csv_dialect_opts(cfg))
         .option("encoding", cfg.get("encoding", "UTF-8"))
         .option("inferSchema", str(cfg.get("infer.schema", "false")))
     )
-    df = reader.csv(str(cfg["path"]).split(","))
+    df = reader.csv(expand_shards(cfg["path"]))
     names = _schema_names(cfg)
     if names:
         df = df.toDF(*names)
@@ -119,19 +209,33 @@ def _reader_jdbc(spark: SparkSession, cfg: dict) -> DataFrame:
     partitionColumn/lowerBound/upperBound/numPartitions; `where` and
     `columns` push down through the JDBC source. Requires a JDBC driver jar
     on the classpath (not present in the sandbox — covered by unit tests
-    only at the option-mapping level)."""
-    opts = {
-        "url": cfg["url"],
-        "dbtable": cfg.get("table") or f"({cfg['sql']}) t",
-    }
-    if "split.by" in cfg:
-        opts.update(
-            partitionColumn=cfg["split.by"],
-            lowerBound=str(cfg.get("lower.bound", 0)),
-            upperBound=str(cfg.get("upper.bound", 1 << 31)),
-            numPartitions=str(cfg.get("parallelism", 8)),
-        )
-    df = spark.read.format("jdbc").options(**opts).load()
+    only at the option-mapping level).
+
+    `table` supports the reference's shard-range syntax
+    (`db.orders_[001-100]`, JDBCSplitter.java:199-264): each shard becomes
+    its own range-partitioned scan and the shards union by name — the same
+    concatenated-SELECT plan the reference builds, but each leg keeps its
+    own partitioned read."""
+
+    def load_one(dbtable: str) -> DataFrame:
+        opts = {"url": cfg["url"], "dbtable": dbtable}
+        if "split.by" in cfg:
+            opts.update(
+                partitionColumn=cfg["split.by"],
+                lowerBound=str(cfg.get("lower.bound", 0)),
+                upperBound=str(cfg.get("upper.bound", 1 << 31)),
+                numPartitions=str(cfg.get("parallelism", 8)),
+            )
+        return spark.read.format("jdbc").options(**opts).load()
+
+    if cfg.get("table"):
+        shards = expand_shards(cfg["table"])
+        df = load_one(shards[0])
+        for s in shards[1:]:
+            df = df.unionByName(load_one(s))
+    else:
+        df = load_one(f"({cfg['sql']}) t")
+    df = _read_side_transforms(df, cfg)
     if cfg.get("columns"):
         df = df.select(*[c.strip() for c in cfg["columns"].split(",")])
     if cfg.get("exclude.columns"):
@@ -193,6 +297,65 @@ def _reader_kafka(spark: SparkSession, cfg: dict) -> DataFrame:
     return df
 
 
+def mongo_id_split_conditions(
+    min_id: str, max_id: str, parallelism: int, query: dict | None = None
+) -> list[dict]:
+    """`_id`-range split plan — the reference's MongoDB splitter math
+    (hdata-mongodb/.../reader/mongodb/MongoDBSplitter.java:47-89): the hex
+    ObjectId span [min_id, max_id] divides into `parallelism` contiguous
+    ranges; each split is the user query plus an `_id` `$gte`/`$lt` bound
+    (`$lte` on the last). Returns one Mongo find-condition dict per split.
+    Pure math — usable to build connector `aggregation.pipeline` partitions.
+    """
+    lo, hi = int(min_id, 16), int(max_id, 16)
+    if parallelism < 1 or hi < lo:
+        raise ValueError("parallelism >= 1 and max_id >= min_id required")
+    step = (hi - lo) // parallelism
+    width = len(min_id)
+    out = []
+    for i in range(parallelism):
+        id_range: dict = {"$gte": format(lo + step * i, f"0{width}x")}
+        if i == parallelism - 1:
+            id_range["$lte"] = format(hi, f"0{width}x")
+        else:
+            id_range["$lt"] = format(lo + step * (i + 1), f"0{width}x")
+        cond = dict(query or {})
+        cond["_id"] = id_range
+        out.append(cond)
+    return out
+
+
+def _mongo_common_opts(cfg: dict) -> dict:
+    opts = {"connection.uri": cfg["uri"]}
+    if cfg.get("database"):
+        opts["database"] = cfg["database"]
+    if cfg.get("collection"):
+        opts["collection"] = cfg["collection"]
+    return opts
+
+
+def _reader_mongodb(spark: SparkSession, cfg: dict) -> DataFrame:
+    """MongoDB scan — reference S9 (hdata-mongodb/.../reader/mongodb/
+    MongoDBReader.java:24-84): `uri` + JSON `query` predicate. The query
+    maps to an aggregation `$match` pipeline (the connector pushes it down);
+    `_id`-range splitting is the connector partitioner's job at runtime, with
+    `mongo_id_split_conditions` exposing the reference's split math.
+    Connector jar absent in sandbox — option mapping unit-tested only."""
+    import json
+
+    opts = _mongo_common_opts(cfg)
+    if cfg.get("query"):
+        match = json.loads(cfg["query"]) if isinstance(cfg["query"], str) else cfg["query"]
+        opts["aggregation.pipeline"] = json.dumps([{"$match": match}])
+    if cfg.get("parallelism"):
+        # Sample partitioner ~ the reference's _id-range splitter
+        opts["partitioner"] = "com.mongodb.spark.sql.connector.read.partitioner.SamplePartitioner"
+        opts["partitioner.options.samples.per.partition"] = str(
+            cfg.get("samples.per.partition", 10)
+        )
+    return spark.read.format("mongodb").options(**opts).load()
+
+
 def _reader_excel(spark: SparkSession, cfg: dict) -> DataFrame:
     """Excel sheet scan — reference S11 (hdata-excel/.../reader/
     ExcelReader.java:27-100): pandas-backed fixture reader (sheet 0,
@@ -214,6 +377,7 @@ READERS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "hive": _reader_hive,
     "http": _reader_http,
     "kafka": _reader_kafka,
+    "mongodb": _reader_mongodb,
     "excel": _reader_excel,
 }
 
@@ -247,7 +411,7 @@ def _writer_csv(df: DataFrame, cfg: dict) -> None:
     (
         df.write.mode(cfg.get("mode", "overwrite"))
         .option("header", str(cfg.get("include.column.names", "true")))
-        .option("sep", _unescape(cfg.get("fields.separator", ",")))
+        .options(**_csv_dialect_opts(cfg))
         .csv(cfg["path"])
     )
 
@@ -287,13 +451,21 @@ def _writer_console(df: DataFrame, cfg: dict) -> None:
 
 def _writer_jdbc(df: DataFrame, cfg: dict) -> None:
     """JDBC batch insert — reference K2 (hdata-jdbc/.../writer/jdbc/
-    JDBCWriter.java:29-201): batchsize maps to `batch.insert.size`. The
-    upsert arm (ON DUPLICATE KEY UPDATE, :128-145) is served by the snapshot
-    sink's MERGE instead (`writer.name=snapshot`)."""
+    JDBCWriter.java:29-201): batchsize maps to `batch.insert.size`, table and
+    column identifiers are keyword-escaped (`keyword.escaper`, default
+    backtick — JDBCWriter.java:117-126). The upsert arm (ON DUPLICATE KEY
+    UPDATE, :128-145) is served by the snapshot sink's MERGE instead
+    (`writer.name=snapshot`)."""
+    # Spark's JDBC writer quotes COLUMN identifiers via the dialect already;
+    # the raw `dbtable` string is the one identifier we must escape ourselves.
+    esc = cfg.get("keyword.escaper", "`")
+    quoted_table = ".".join(
+        f"{esc}{part.strip(esc)}{esc}" for part in str(cfg["table"]).split(".")
+    )
     (
         df.write.mode(cfg.get("mode", "append"))
         .option("batchsize", int(cfg.get("batch.insert.size", 10000)))
-        .jdbc(cfg["url"], cfg["table"])
+        .jdbc(cfg["url"], quoted_table)
     )
 
 
@@ -346,6 +518,20 @@ def _writer_snapshot(df: DataFrame, cfg: dict) -> None:
     table.merge(spark, df)
 
 
+def _writer_mongodb(df: DataFrame, cfg: dict) -> None:
+    """MongoDB batched-insert sink — reference K8 (hdata-mongodb/.../writer/
+    mongodb/MongoDBWriter.java:20-60): `batch.insert.size` maps to the
+    connector's maxBatchSize. Connector jar absent in sandbox — option
+    mapping unit-tested only."""
+    (
+        df.write.format("mongodb")
+        .mode(cfg.get("mode", "append"))
+        .options(**_mongo_common_opts(cfg))
+        .option("maxBatchSize", int(cfg.get("batch.insert.size", 1000)))
+        .save()
+    )
+
+
 def _writer_excel(df: DataFrame, cfg: dict) -> None:
     """Excel sink — reference K10 (hdata-excel/.../writer/ExcelWriter.java:23-82):
     collected pandas write, all cells as strings; fixture-scale only."""
@@ -364,6 +550,7 @@ WRITERS: dict[str, Callable[[DataFrame, dict], None]] = {
     "console": _writer_console,
     "jdbc": _writer_jdbc,
     "kafka": _writer_kafka,
+    "mongodb": _writer_mongodb,
     "snapshot": _writer_snapshot,
     "excel": _writer_excel,
 }

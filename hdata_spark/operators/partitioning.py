@@ -39,14 +39,21 @@ def salt_counts(
     threshold: float = 4.0,
     target_rows_per_task: int | None = None,
     max_salts: int = 64,
+    mean: float | None = None,
 ) -> dict[str, int]:
     """The salting POLICY, shared by every detector: keys whose row mass
     exceeds `threshold` x the mean get ceil(rows / target) salt buckets
     (floor 2, capped at max_salts). Input is a plain {key: row_count} dict —
-    computed from a groupBy here, from ledger metrics in the replay loop."""
+    computed from a groupBy here, from ledger metrics in the replay loop.
+
+    ``mean``: the TRUE mean rows-per-key, for callers that pass a
+    pre-filtered hot-keys-only dict (the replay loop's driver-bounded
+    detector) — computing the mean from hot keys alone would inflate it.
+    """
     if not counts:
         return {}
-    mean = sum(counts.values()) / len(counts)
+    if mean is None:
+        mean = sum(counts.values()) / len(counts)
     if target_rows_per_task is None:
         # aim to split a hot key back down to ~mean-sized chunks
         target_rows_per_task = max(int(mean), 1)

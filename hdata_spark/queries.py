@@ -439,6 +439,79 @@ def ref_type_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ref_nan_normalize",
+    """
+    WITH raw AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 5 = 0 THEN 'NaN'::DOUBLE
+                    WHEN event_id % 5 = 1 THEN 'Infinity'::DOUBLE
+                    WHEN event_id % 5 = 2 THEN '-Infinity'::DOUBLE
+                    WHEN event_id % 5 = 3 THEN NULL
+                    ELSE CAST(event_id AS DOUBLE) END AS v,
+               CASE WHEN event_id % 3 = 0 THEN ''
+                    ELSE CAST(event_id % 100 AS VARCHAR) END AS s
+        FROM events),
+    norm AS (
+        SELECT event_type,
+               CASE WHEN isnan(v) OR abs(v) = 'Infinity'::DOUBLE
+                    THEN 0.0 ELSE v END AS v_norm,
+               CASE WHEN s = '' THEN CAST(0 AS BIGINT)
+                    ELSE CAST(s AS BIGINT) END AS s_int
+        FROM raw)
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN v_norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zeroed,
+           count(v_norm) AS n_nonnull,
+           CAST(max(v_norm) AS DOUBLE) AS max_v,
+           CAST(sum(s_int) AS BIGINT) AS sum_s
+    FROM norm GROUP BY 1
+    """,
+)
+def ref_nan_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN/Infinity -> 0 and empty-string -> 0 typed-parse normalization.
+
+    Reference: hdata-hive/.../plugin/hive/HiveTypeUtils.java:87-132
+    (convertHiveSpecialValue) and :40-58 (toJavaObjectSpecial). Special
+    values are synthesized deterministically from event_id (the fixture
+    tables are NaN-free), normalized with the library scalars, then
+    aggregated with exact (int/selection) statistics so the oracle hash is
+    float-order-independent.
+    """
+    from hdata_spark.functions.text import (
+        normalize_special_float,
+        parse_int_empty_zero,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    m5, m3 = F.col("event_id") % 5, F.col("event_id") % 3
+    raw = ev.select(
+        "event_type",
+        F.when(m5 == 0, F.lit(float("nan")))
+        .when(m5 == 1, F.lit(float("inf")))
+        .when(m5 == 2, F.lit(float("-inf")))
+        .when(m5 == 3, F.lit(None).cast("double"))
+        .otherwise(F.col("event_id").cast("double"))
+        .alias("v"),
+        F.when(m3 == 0, F.lit(""))
+        .otherwise((F.col("event_id") % 100).cast("string"))
+        .alias("s"),
+    )
+    norm = raw.select(
+        "event_type",
+        normalize_special_float(F.col("v")).alias("v_norm"),
+        parse_int_empty_zero(F.col("s")).alias("s_int"),
+    )
+    return norm.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("v_norm") == 0.0, 1).otherwise(0)).alias("n_zeroed"),
+        F.count("v_norm").alias("n_nonnull"),
+        F.max("v_norm").alias("max_v"),
+        F.sum("s_int").alias("sum_s"),
+    )
+
+
+@query(
     "ref_shard_union",
     """
     SELECT o_orderstatus, count(*) AS n,
@@ -464,6 +537,92 @@ def ref_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         u = u.unionByName(s)
     return u.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum")
+    )
+
+
+@query(
+    "ref_shard_expand_read",
+    """
+    SELECT o_orderstatus, count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS keys_sum
+    FROM orders GROUP BY 1
+    """,
+)
+def ref_shard_expand_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jobspec shard-range expansion END-TO-END: orders staged as 4 parquet
+    shards, then read back through the jobspec parquet reader with the
+    reference's `orders_[000-003]` syntax (JDBCSplitter.java:199-264) — the
+    union of shards must equal the unsharded table.
+    """
+    import os
+    import tempfile
+
+    from hdata_spark.jobspec import read_source
+
+    o = load(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="hdata_spark_shards_")
+    for i in range(4):
+        o.filter(F.col("o_orderkey") % 4 == i).write.mode("overwrite").parquet(
+            os.path.join(d, f"orders_{i:03d}.parquet")
+        )
+    df = read_source(
+        spark, {"name": "parquet", "path": f"{d}/orders_[000-003].parquet"}
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("keys_sum"),
+    )
+
+
+@query(
+    "ref_reader_null_subst",
+    """
+    WITH raw AS (
+        SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_orderpriority END AS pri,
+               CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        FROM orders),
+    subst AS (
+        SELECT coalesce(pri, 'MISSING') AS pri,
+               coalesce(price, CAST('0' AS DECIMAL(18,2))) AS price
+        FROM raw)
+    SELECT pri, count(*) AS n,
+           CAST(sum(price) AS DOUBLE) AS price_sum
+    FROM subst GROUP BY 1
+    """,
+)
+def ref_reader_null_subst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader-side `null.string` / `null.non.string` substitution END-TO-END
+    through the jobspec parquet reader (JDBCReader.java:129-134): nulls are
+    injected deterministically, staged, and must come back substituted."""
+    import tempfile
+
+    from hdata_spark.jobspec import read_source
+
+    o = load(spark, sf_dir, "orders")
+    raw = o.select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pri"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice").cast("decimal(18,2)"))
+        .alias("price"),
+    )
+    d = tempfile.mkdtemp(prefix="hdata_spark_nulls_")
+    raw.write.mode("overwrite").parquet(d + "/raw.parquet")
+    df = read_source(
+        spark,
+        {
+            "name": "parquet",
+            "path": d + "/raw.parquet",
+            "null.string": "MISSING",
+            "null.non.string": "0",
+        },
+    )
+    return df.groupBy("pri").agg(
+        F.count("*").alias("n"),
+        F.sum("price").cast("double").alias("price_sum"),
     )
 
 

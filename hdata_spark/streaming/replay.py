@@ -104,17 +104,61 @@ def _transform(data: DataFrame, registry: SchemaRegistry, cfg: ReplayConfig) -> 
     return registry.project_batch(data)
 
 
-def _salt_map_from(per_repo: list, cfg: ReplayConfig) -> dict[str, int]:
-    """Hot-key salt plan from this epoch's per-repo metrics rows (shared
-    policy: operators.partitioning.salt_counts)."""
-    if not (cfg.detect_skew and per_repo):
+def _hot_repo_stats(
+    staged: DataFrame, run: list[int], cfg: ReplayConfig
+) -> tuple[dict[int, dict[str, int]], dict[int, float]]:
+    """Per-epoch hot-repo event counts with a DRIVER-BOUNDED collect.
+
+    The skew detector only needs repos ABOVE the salt threshold, so the
+    hot-key cut is pushed INTO the query: first a tiny per-epoch mean
+    aggregate (|run| rows), then a literal CASE threshold filter on the
+    (epoch, repo) counts — the driver receives only hot rows, bounded by
+    the true hot-key count, never one row per distinct repo (an unbounded
+    collect at 10^8 repos). Returns ({epoch: {repo: n}}, {epoch: mean_n});
+    the mean rides along so the salt policy sees the TRUE mean, not the
+    hot-only mean.
+    """
+    if not cfg.detect_skew:
+        return {}, {}
+    repo_counts = staged.groupBy("epoch", "repo").agg(
+        F.count("*").alias("n")
+    )
+    mean_by_epoch = {
+        int(r["epoch"]): float(r["mean_n"])
+        for r in repo_counts.groupBy("epoch")
+        .agg(F.avg("n").alias("mean_n"))
+        .collect()
+    }
+    if not mean_by_epoch:
+        return {}, {}
+    cut = None
+    for e in run:
+        m = mean_by_epoch.get(e)
+        if m is None:
+            continue
+        cond = F.col("epoch") == F.lit(e)
+        lim = F.lit(cfg.salt_threshold * m)
+        cut = F.when(cond, lim) if cut is None else cut.when(cond, lim)
+    hot: dict[int, dict[str, int]] = {}
+    for r in repo_counts.filter(F.col("n") > cut).collect():
+        hot.setdefault(int(r["epoch"]), {})[r["repo"]] = int(r["n"])
+    return hot, mean_by_epoch
+
+
+def _salt_map_from(
+    hot_counts: dict[str, int], true_mean: float | None, cfg: ReplayConfig
+) -> dict[str, int]:
+    """Hot-key salt plan from the bounded detector output (shared policy:
+    operators.partitioning.salt_counts, with the true mean passed in)."""
+    if not (cfg.detect_skew and hot_counts):
         return {}
     from hdata_spark.operators.partitioning import salt_counts
 
     return salt_counts(
-        {r["repo"]: int(r["applied_events"]) for r in per_repo},
+        hot_counts,
         threshold=cfg.salt_threshold,
         max_salts=cfg.max_salts,
+        mean=true_mean,
     )
 
 
@@ -148,7 +192,7 @@ def _apply_schema_changes(
 def _commit_epoch(
     epoch: int,
     rows_bucket: list,
-    rows_repo: list,
+    salt_map: dict[str, int],
     merge_stats: dict,
     registry: SchemaRegistry,
     ledger: CommitLedger,
@@ -156,7 +200,6 @@ def _commit_epoch(
     cfg: ReplayConfig,
     global_max_lsn: int,
 ) -> dict:
-    salt_map = _salt_map_from(rows_repo, cfg)
     mean_rows = (
         sum(r["applied_events"] for r in rows_bucket) / len(rows_bucket)
         if rows_bucket
@@ -289,7 +332,7 @@ def _apply_run(
                 else table.merge(spark, None, affected=[], batch_deduped=True)
             )
             _commit_epoch(
-                epoch, [], [], merge_stats, registry, ledger, metrics, cfg,
+                epoch, [], {}, merge_stats, registry, ledger, metrics, cfg,
                 global_max_lsn,
             )
         if not mor:
@@ -297,13 +340,10 @@ def _apply_run(
         return
     staged = spark.read.parquet(stage_dir)
 
-    # One metrics pass for the whole run: GROUPING SETS ((epoch, bucket),
-    # (epoch, repo)) — ledger/metrics rows and the hot-key detector input.
-    gsets = (
-        staged.groupingSets(
-            [["epoch", "bucket"], ["epoch", "repo"]],
-            F.col("epoch"), F.col("bucket"), F.col("repo"),
-        )
+    # Ledger/metrics rows: per-(epoch, bucket) aggregate — collect bounded
+    # at |run| x n_buckets rows regardless of data volume.
+    bstats = (
+        staged.groupBy("epoch", "bucket")
         .agg(
             F.count("*").alias("applied_events"),
             F.max("_lsn").alias("max_applied_lsn"),
@@ -311,14 +351,13 @@ def _apply_run(
         )
         .collect()
     )
-    t0 = _prof(f"run[{lo}-{hi}] gsets", t0)
     by_epoch_bucket: dict[int, list] = {e: [] for e in run}
-    by_epoch_repo: dict[int, list] = {e: [] for e in run}
-    for r in gsets:
-        if r["bucket"] is not None:
-            by_epoch_bucket[int(r["epoch"])].append(r)
-        elif r["repo"] is not None:
-            by_epoch_repo[int(r["epoch"])].append(r)
+    for r in bstats:
+        by_epoch_bucket[int(r["epoch"])].append(r)
+    # Skew detector input: hot repos ONLY (threshold pushed into the query;
+    # see _hot_repo_stats — never a one-row-per-distinct-repo collect).
+    hot_by_epoch, mean_by_epoch = _hot_repo_stats(staged, run, cfg)
+    t0 = _prof(f"run[{lo}-{hi}] metrics aggs", t0)
 
     for epoch in run:
         rows_bucket = by_epoch_bucket.get(epoch, [])
@@ -357,8 +396,11 @@ def _apply_run(
                 affected=affected,
                 batch_deduped=True,  # staged winners are unique per (epoch, key)
             )
+        salt_map = _salt_map_from(
+            hot_by_epoch.get(epoch, {}), mean_by_epoch.get(epoch), cfg
+        )
         _commit_epoch(
-            epoch, rows_bucket, by_epoch_repo.get(epoch, []), merge_stats,
+            epoch, rows_bucket, salt_map, merge_stats,
             registry, ledger, metrics, cfg, global_max_lsn,
         )
         t0 = _prof(f"epoch {epoch} {'append' if mor else 'merge'}+commit", t0)

@@ -218,3 +218,111 @@ def test_registry_covers_reference_plugin_families():
     )
     assert {"parquet", "csv", "text", "console", "jdbc", "kafka", "snapshot",
             "excel"} <= set(WRITERS)
+
+
+def test_expand_shards_syntax():
+    from hdata_spark.jobspec import expand_shards
+
+    assert expand_shards("t") == ["t"]
+    assert expand_shards("t_[001-003]") == ["t_001", "t_002", "t_003"]
+    assert expand_shards("t_[03-01]") == ["t_01", "t_02", "t_03"]  # swapped
+    assert expand_shards("a[1-2]_x,b") == ["a1_x", "a2_x", "b"]
+    assert expand_shards("t[1-2],t[2-3]") == ["t1", "t2", "t3"]  # dedup
+    assert expand_shards("db.orders_[098-101]") == [
+        "db.orders_098", "db.orders_099", "db.orders_100", "db.orders_101"
+    ]
+
+
+def test_parquet_reader_expands_shard_ranges(spark, tmp_path):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "shard": [0, 1, 2]})
+    )
+    for i in range(3):
+        df.filter(df.shard == i).write.parquet(str(tmp_path / f"s_{i:02d}.pq"))
+    out = read_source(
+        spark, {"name": "parquet", "path": f"{tmp_path}/s_[00-02].pq"}
+    )
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_reader_side_null_substitution_and_wrap(spark, tmp_path):
+    """null.string / null.non.string / field.wrap.replace.string at read
+    (JDBCReader.java:129-134)."""
+    src = str(tmp_path / "src.pq")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"s": ["a\nb", None, "c"], "n": [1.5, None, 2.5]}
+        )
+    ).write.parquet(src)
+    out = read_source(
+        spark,
+        {
+            "name": "parquet",
+            "path": src,
+            "null.string": "NULL",
+            "null.non.string": "0",
+            "field.wrap.replace.string": "|",
+        },
+    ).orderBy("s")
+    rows = [(r["s"], r["n"]) for r in out.collect()]
+    assert rows == [("NULL", 0.0), ("a|b", 1.5), ("c", 2.5)]
+
+
+def test_csv_dialect_presets(spark, tmp_path):
+    from hdata_spark.jobspec import _csv_dialect_opts
+
+    assert _csv_dialect_opts({"format": "mysql"})["sep"] == "\t"
+    assert _csv_dialect_opts({"format": "mysql"})["nullValue"] == "\\N"
+    assert _csv_dialect_opts({"format": "rfc4180"})["sep"] == ","
+    assert _csv_dialect_opts({})["sep"] == ","
+    # explicit separator overrides the preset
+    assert _csv_dialect_opts({"format": "tdf", "fields.separator": ";"})["sep"] == ";"
+    with pytest.raises(ValueError):
+        _csv_dialect_opts({"format": "nope"})
+    # mysql dialect roundtrip: tab-separated, \N nulls, no quoting
+    df = spark.createDataFrame(pd.DataFrame({"a": ["x", None], "b": [1, 2]}))
+    out_dir = str(tmp_path / "out_mysql")
+    run_job(
+        spark,
+        {
+            "reader": {"name": "parquet", "path": _stage(spark, df, tmp_path)},
+            "writer": {"name": "csv", "path": out_dir, "format": "mysql",
+                       "include.column.names": "false", "null.string": "\\N"},
+        },
+    )
+    import glob
+
+    body = "".join(open(f).read() for f in glob.glob(out_dir + "/part-*"))
+    assert "\t" in body and "\\N" in body
+
+
+def _stage(spark, df, tmp_path):
+    p = str(tmp_path / "stage.pq")
+    df.write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_mongo_id_split_conditions_match_reference_math():
+    """MongoDBSplitter.java:47-89: hex _id span / parallelism, $gte/$lt
+    bounds, $lte on the last, user query preserved per split."""
+    from hdata_spark.jobspec import mongo_id_split_conditions
+
+    lo = "000000000000000000000000"
+    hi = "000000000000000000000009"
+    splits = mongo_id_split_conditions(lo, hi, 3, query={"status": "A"})
+    assert len(splits) == 3
+    assert all(s["status"] == "A" for s in splits)
+    assert splits[0]["_id"] == {
+        "$gte": "000000000000000000000000", "$lt": "000000000000000000000003"
+    }
+    assert splits[2]["_id"] == {
+        "$gte": "000000000000000000000006", "$lte": "000000000000000000000009"
+    }
+    with pytest.raises(ValueError):
+        mongo_id_split_conditions(hi, lo, 2)
+
+
+def test_mongo_reader_writer_registered():
+    from hdata_spark.jobspec import READERS, WRITERS
+
+    assert "mongodb" in READERS and "mongodb" in WRITERS

@@ -103,3 +103,38 @@ def test_skew_ratio_flags_hot_partition(spark):
     by_repo = skew_ratio(df, "repo").collect()
     hot = [r for r in by_repo if r["repo"] == "org0/repo0"]
     assert hot and hot[0]["skew_ratio"] > 4.0
+
+
+def test_hot_repo_detector_collect_is_bounded(spark):
+    """The replay skew detector must push the hot-key threshold INTO the
+    query: with 100k distinct repos and 2 hot ones, the driver receives only
+    the 2 hot rows, never one row per repo — and the salt policy sees the
+    TRUE mean, not the hot-only mean."""
+    from pyspark.sql import functions as F
+
+    from hdata_spark.streaming.replay import (
+        ReplayConfig,
+        _hot_repo_stats,
+        _salt_map_from,
+    )
+
+    n_cold, hot_n = 100_000, 5_000
+    cold = spark.range(n_cold).select(
+        F.lit(0).alias("epoch"),
+        F.concat(F.lit("org/cold"), F.col("id")).alias("repo"),
+    )
+    hot = spark.range(2 * hot_n).select(
+        F.lit(0).alias("epoch"),
+        F.concat(F.lit("org/hot"), (F.col("id") % 2)).alias("repo"),
+    )
+    staged = cold.unionByName(hot)
+    cfg = ReplayConfig(salt_threshold=4.0)
+    hot_by_epoch, mean_by_epoch = _hot_repo_stats(staged, [0], cfg)
+    assert set(hot_by_epoch) == {0}
+    assert set(hot_by_epoch[0]) == {"org/hot0", "org/hot1"}  # ONLY hot rows
+    assert hot_by_epoch[0]["org/hot0"] == hot_n
+    true_mean = (n_cold + 2 * hot_n) / (n_cold + 2)
+    assert abs(mean_by_epoch[0] - true_mean) < 1e-6
+    salt_map = _salt_map_from(hot_by_epoch[0], mean_by_epoch[0], cfg)
+    assert set(salt_map) == {"org/hot0", "org/hot1"}
+    assert all(n >= 2 for n in salt_map.values())
