@@ -107,18 +107,20 @@ def test_ivf_assign_no_window_no_sort(spark):
     assert "HashAggregate" in s or "ObjectHashAggregate" in s
 
 
-def test_simhash_pairs_single_signature_pass_no_join(spark):
-    """Pair expansion is GROUP-side: no self-join, so the signature pipeline
-    appears exactly once in the physical plan."""
+def test_simhash_pairs_single_signature_pass(spark):
+    """The candidate self-join must read a MATERIALIZED signature frame on
+    both sides (one signature pass), not recompute the pipeline per side —
+    and stay a sort-free shuffled-hash join."""
     from hdata_spark.operators.text_dedup import simhash_near_pairs
 
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     s = plan_of(simhash_near_pairs(d, max_hamming=6))
-    for join_op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
-                    "BroadcastNestedLoopJoin", "CartesianProduct"):
-        assert join_op not in s, f"simhash pair expansion regressed to {join_op}"
-    # exactly one scan of the documents table feeds the pipeline
-    assert s.count("Scan parquet") == 1
+    # the documents parquet scan lives behind the checkpoint, not inlined
+    # twice into the join subtrees
+    assert s.count("Scan parquet") == 0
+    assert s.count("Scan ExistingRDD") == 2
+    assert "ShuffledHashJoin" in s
+    assert "SortMergeJoin" not in s
 
 
 def test_pandas_udf_shows_arrow_exchange(spark):
