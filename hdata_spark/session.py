@@ -73,6 +73,10 @@ def get_spark(
         # pointer swap — not the file committer — is the correctness anchor,
         # so v2's weaker job-commit atomicity costs nothing.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # Plain MIN/MAX/COUNT aggregates over parquet resolve from footer
+        # statistics instead of scanning rows (epoch bounds, watermark
+        # probes). No effect on aggs with filters/group-bys.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -104,45 +104,66 @@ def _transform(data: DataFrame, registry: SchemaRegistry, cfg: ReplayConfig) -> 
     return registry.project_batch(data)
 
 
-def _hot_repo_stats(
+def _run_metrics(
     staged: DataFrame, run: list[int], cfg: ReplayConfig
-) -> tuple[dict[int, dict[str, int]], dict[int, float]]:
-    """Per-epoch hot-repo event counts with a DRIVER-BOUNDED collect.
+) -> tuple[dict[int, list], dict[int, dict[str, int]], dict[int, float]]:
+    """One metrics pass per run, every collect DRIVER-BOUNDED.
 
-    The skew detector only needs repos ABOVE the salt threshold, so the
-    hot-key cut is pushed INTO the query: first a tiny per-epoch mean
-    aggregate (|run| rows), then a literal CASE threshold filter on the
-    (epoch, repo) counts — the driver receives only hot rows, bounded by
-    the true hot-key count, never one row per distinct repo (an unbounded
-    collect at 10^8 repos). Returns ({epoch: {repo: n}}, {epoch: mean_n});
-    the mean rides along so the salt policy sees the TRUE mean, not the
-    hot-only mean.
+    ONE heavy aggregation job computes GROUPING SETS ((epoch, bucket),
+    (epoch, repo)) over the staged winners; the slim result (|run| x
+    n_buckets + distinct-repo rows — executor-side, never collected whole)
+    is persisted, then three bounded reads come off the cache:
+
+    - the (epoch, bucket) arm — ledger/metrics rows, <= |run| x n_buckets;
+    - per-epoch repo means — |run| rows (so the salt policy sees the TRUE
+      mean, not the hot-only mean);
+    - the hot-repo rows with the threshold cut pushed INTO the filter — the
+      driver receives only keys above threshold x mean, never one row per
+      distinct repo (an unbounded collect at 10^8 repos).
+
+    Returns ({epoch: [bucket rows]}, {epoch: {repo: n}}, {epoch: mean_n}).
     """
-    if not cfg.detect_skew:
-        return {}, {}
-    repo_counts = staged.groupBy("epoch", "repo").agg(
-        F.count("*").alias("n")
-    )
-    mean_by_epoch = {
-        int(r["epoch"]): float(r["mean_n"])
-        for r in repo_counts.groupBy("epoch")
-        .agg(F.avg("n").alias("mean_n"))
-        .collect()
-    }
-    if not mean_by_epoch:
-        return {}, {}
-    cut = None
-    for e in run:
-        m = mean_by_epoch.get(e)
-        if m is None:
-            continue
-        cond = F.col("epoch") == F.lit(e)
-        lim = F.lit(cfg.salt_threshold * m)
-        cut = F.when(cond, lim) if cut is None else cut.when(cond, lim)
+    by_epoch_bucket: dict[int, list] = {e: [] for e in run}
     hot: dict[int, dict[str, int]] = {}
-    for r in repo_counts.filter(F.col("n") > cut).collect():
-        hot.setdefault(int(r["epoch"]), {})[r["repo"]] = int(r["n"])
-    return hot, mean_by_epoch
+    aggs = [
+        F.count("*").alias("applied_events"),
+        F.max("_lsn").alias("max_applied_lsn"),
+        _fingerprint_agg("_lsn").alias("fp"),
+    ]
+    if not cfg.detect_skew:
+        for r in staged.groupBy("epoch", "bucket").agg(*aggs).collect():
+            by_epoch_bucket[int(r["epoch"])].append(r)
+        return by_epoch_bucket, hot, {}
+    g = staged.groupingSets(
+        [["epoch", "bucket"], ["epoch", "repo"]],
+        F.col("epoch"), F.col("bucket"), F.col("repo"),
+    ).agg(*aggs).persist()
+    try:
+        for r in g.filter(F.col("bucket").isNotNull()).collect():
+            by_epoch_bucket[int(r["epoch"])].append(r)
+        repo_arm = g.filter(F.col("repo").isNotNull())
+        mean_by_epoch = {
+            int(r["epoch"]): float(r["mean_n"])
+            for r in repo_arm.groupBy("epoch")
+            .agg(F.avg("applied_events").alias("mean_n"))
+            .collect()
+        }
+        cut = None
+        for e in run:
+            m = mean_by_epoch.get(e)
+            if m is None:
+                continue
+            cond = F.col("epoch") == F.lit(e)
+            lim = F.lit(cfg.salt_threshold * m)
+            cut = F.when(cond, lim) if cut is None else cut.when(cond, lim)
+        if cut is not None:
+            for r in repo_arm.filter(F.col("applied_events") > cut).collect():
+                hot.setdefault(int(r["epoch"]), {})[r["repo"]] = int(
+                    r["applied_events"]
+                )
+    finally:
+        g.unpersist()
+    return by_epoch_bucket, hot, mean_by_epoch
 
 
 def _salt_map_from(
@@ -340,23 +361,9 @@ def _apply_run(
         return
     staged = spark.read.parquet(stage_dir)
 
-    # Ledger/metrics rows: per-(epoch, bucket) aggregate — collect bounded
-    # at |run| x n_buckets rows regardless of data volume.
-    bstats = (
-        staged.groupBy("epoch", "bucket")
-        .agg(
-            F.count("*").alias("applied_events"),
-            F.max("_lsn").alias("max_applied_lsn"),
-            _fingerprint_agg("_lsn").alias("fp"),
-        )
-        .collect()
+    by_epoch_bucket, hot_by_epoch, mean_by_epoch = _run_metrics(
+        staged, run, cfg
     )
-    by_epoch_bucket: dict[int, list] = {e: [] for e in run}
-    for r in bstats:
-        by_epoch_bucket[int(r["epoch"])].append(r)
-    # Skew detector input: hot repos ONLY (threshold pushed into the query;
-    # see _hot_repo_stats — never a one-row-per-distinct-repo collect).
-    hot_by_epoch, mean_by_epoch = _hot_repo_stats(staged, run, cfg)
     t0 = _prof(f"run[{lo}-{hi}] metrics aggs", t0)
 
     for epoch in run:
@@ -427,6 +434,7 @@ def replay(
     replay reads only the uncommitted tail.
     """
     cfg = cfg or ReplayConfig()
+    t0 = time.time()
     bounds = events.agg(
         F.max("lsn").alias("max_lsn"),
         F.min("epoch").alias("min_epoch"),
@@ -435,6 +443,7 @@ def replay(
             "max_sc_epoch"
         ),
     ).collect()[0]
+    t0 = _prof("replay bounds agg", t0)
     if bounds["max_lsn"] is None:
         return {"epochs_applied": 0, "epochs_skipped": 0}
     global_max_lsn = int(bounds["max_lsn"])
@@ -475,11 +484,13 @@ def replay(
         else:
             runs.append([epoch])
 
+    t0 = _prof("replay planning", t0)
     for run in runs:
         _apply_run(
             spark, events, run, table, ledger, metrics, registry, cfg,
             global_max_lsn, has_schema_changes=bool(set(run) & sc_epochs),
         )
+    t0 = time.time()
     compacted = False
     if cfg.sink_commit == "append" and cfg.compact_at_end and todo:
         # Fold MOR deltas back to one row per key (read-optimize the table).
@@ -488,6 +499,7 @@ def replay(
         # delta-file threshold), amortized across many fast-append commits.
         table.compact(spark)
         compacted = True
+        t0 = _prof("replay compact", t0)
     return {
         "epochs_applied": len(todo),
         "epochs_skipped": skipped,

@@ -106,7 +106,7 @@ def test_skew_ratio_flags_hot_partition(spark):
 
 
 def test_hot_repo_detector_collect_is_bounded(spark):
-    """The replay skew detector must push the hot-key threshold INTO the
+    """The replay metrics pass must push the hot-key threshold INTO the
     query: with 100k distinct repos and 2 hot ones, the driver receives only
     the 2 hot rows, never one row per repo — and the salt policy sees the
     TRUE mean, not the hot-only mean."""
@@ -114,7 +114,7 @@ def test_hot_repo_detector_collect_is_bounded(spark):
 
     from hdata_spark.streaming.replay import (
         ReplayConfig,
-        _hot_repo_stats,
+        _run_metrics,
         _salt_map_from,
     )
 
@@ -122,14 +122,21 @@ def test_hot_repo_detector_collect_is_bounded(spark):
     cold = spark.range(n_cold).select(
         F.lit(0).alias("epoch"),
         F.concat(F.lit("org/cold"), F.col("id")).alias("repo"),
+        F.lit("f.py").alias("path"),
+        F.col("id").alias("_lsn"),
+        (F.col("id") % 16).cast("int").alias("bucket"),
     )
     hot = spark.range(2 * hot_n).select(
         F.lit(0).alias("epoch"),
         F.concat(F.lit("org/hot"), (F.col("id") % 2)).alias("repo"),
+        F.lit("f.py").alias("path"),
+        (F.col("id") + n_cold).alias("_lsn"),
+        (F.col("id") % 16).cast("int").alias("bucket"),
     )
     staged = cold.unionByName(hot)
     cfg = ReplayConfig(salt_threshold=4.0)
-    hot_by_epoch, mean_by_epoch = _hot_repo_stats(staged, [0], cfg)
+    by_bucket, hot_by_epoch, mean_by_epoch = _run_metrics(staged, [0], cfg)
+    assert len(by_bucket[0]) == 16  # bounded: one row per bucket
     assert set(hot_by_epoch) == {0}
     assert set(hot_by_epoch[0]) == {"org/hot0", "org/hot1"}  # ONLY hot rows
     assert hot_by_epoch[0]["org/hot0"] == hot_n
