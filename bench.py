@@ -291,8 +291,19 @@ def main() -> None:
             "events": N_EVENTS,
         }
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        # Session history: co-tenant noise is +/-50%, so one session cannot
+        # put the >=0.8 criterion beyond noise. Every scaling run appends
+        # here and BASELINE.md reports the whole envelope, worst included.
+        hist_path = os.path.join(REPO, "BENCH", "scaling_sessions.jsonl")
+        with open(hist_path, "a") as f:
+            f.write(json.dumps({"ts": time.time(), **report}) + "\n")
+        history = [
+            json.loads(ln)
+            for ln in open(hist_path)
+            if ln.strip()
+        ]
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-            f.write(_scaling_md(results, report))
+            f.write(_scaling_md(results, report, history))
         print(json.dumps(report))
         return
 
@@ -319,9 +330,31 @@ def main() -> None:
     )
 
 
-def _scaling_md(results: dict, report: dict) -> str:
+def _scaling_md(results: dict, report: dict, history: list[dict] | None = None) -> str:
     r8, r32 = results[8], results[32]
     cfg = _fixture_cfg()
+    history = history or [report]
+    hist_rows = "\n".join(
+        f"| {i + 1} | {h['throughput_8_events_per_sec']:,.0f} | "
+        f"{h['throughput_32_events_per_sec']:,.0f} | {h['raw_efficiency']} | "
+        f"{h['machine_ceiling_efficiency']} | {h['normalized_efficiency']} |"
+        for i, h in enumerate(history)
+    )
+    min_norm = min(h["normalized_efficiency"] for h in history)
+    min_raw = min(h["raw_efficiency"] for h in history)
+    envelope = f"""
+## Session envelope ({len(history)} scaling session(s), this code version)
+
+Each row is one full scaling session (fresh fixture-warm JVMs, pinned,
+min-over-repeats inside the session). The criterion is judged on the WORST
+session, not the best — the min-envelope.
+
+| session | 8-core ev/s | 32-core ev/s | raw eff | machine ceiling | normalized eff |
+|---|---|---|---|---|---|
+{hist_rows}
+
+**Min-envelope: raw {min_raw}, normalized {min_norm}.**
+"""
     return f"""# BENCH/BASELINE — scaling evidence (N vs 4N cores)
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
@@ -374,6 +407,7 @@ thread/core, so this is virtualization, not SMT).
 | raw replay efficiency (vs perfect 4x) | {report["raw_efficiency"]} |
 | machine ceiling (ideal kernel, vs perfect 4x) | {report["machine_ceiling_efficiency"]} |
 | **replay efficiency normalized to machine ceiling** | **{report["normalized_efficiency"]}** |
+{envelope}
 
 The replay achieves **{report["normalized_efficiency"]}** of the scaling
 this VM physically allows — the engine-attributable efficiency the north

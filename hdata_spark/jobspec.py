@@ -27,6 +27,7 @@ the reference can translate a job 1:1; see each builder's citation.
 from __future__ import annotations
 
 import codecs
+import os
 import re
 from collections.abc import Callable
 
@@ -94,6 +95,25 @@ def expand_shards(content: str) -> list[str]:
     return sorted(out)
 
 
+def _expand_paths(path: str) -> list[str]:
+    """Shard-expand a PATH spec only when every expanded path actually
+    exists; otherwise pass the comma-split pieces through untouched.
+
+    `[0-4]` is also valid Hadoop character-class glob syntax — a user's
+    `part-[0-4]` glob over a layout with gaps must keep reaching the
+    filesystem as a glob, not become five literal paths that crash on the
+    missing ones. (Table names in `_reader_jdbc` always expand — there is
+    no globbing in SQL identifiers.)
+    """
+    pieces = [p.strip() for p in str(path).split(",") if p.strip()]
+    expanded = expand_shards(path)
+    if expanded != sorted(set(pieces)) and all(
+        os.path.exists(p) for p in expanded
+    ):
+        return expanded
+    return pieces
+
+
 _NUMERIC_TYPES = ("integer", "long", "short", "byte", "float", "double", "decimal")
 
 
@@ -134,14 +154,17 @@ def _reader_parquet(spark: SparkSession, cfg: dict) -> DataFrame:
     sharded source expands to one multi-path scan — the lake analog of the
     reference's sharded-table union, testable without a JDBC driver."""
     return _read_side_transforms(
-        spark.read.parquet(*expand_shards(cfg["path"])), cfg
+        spark.read.parquet(*_expand_paths(cfg["path"])), cfg
     )
 
 
 # commons-csv dialect presets (hdata-csv/.../plugin/FormatConf.java:10-32)
 # mapped onto Spark csv options; explicit options override the preset.
+# "default" deliberately sets ONLY the separator: format-less jobs must keep
+# Spark's own quote/escape behavior (backslash escape), not silently switch
+# to RFC-style double-quote escaping.
 _CSV_DIALECTS: dict[str, dict[str, str]] = {
-    "default": {"sep": ",", "quote": '"', "escape": '"'},
+    "default": {"sep": ","},
     "excel": {"sep": ",", "quote": '"', "escape": '"'},
     # CSVFormat.MYSQL: tab-separated, backslash-escaped, unquoted, \N nulls
     "mysql": {"sep": "\t", "quote": "\u0000", "escape": "\\",
@@ -174,7 +197,7 @@ def _reader_csv(spark: SparkSession, cfg: dict) -> DataFrame:
         .option("encoding", cfg.get("encoding", "UTF-8"))
         .option("inferSchema", str(cfg.get("infer.schema", "false")))
     )
-    df = reader.csv(expand_shards(cfg["path"]))
+    df = reader.csv(_expand_paths(cfg["path"]))
     names = _schema_names(cfg)
     if names:
         df = df.toDF(*names)
@@ -457,11 +480,21 @@ def _writer_jdbc(df: DataFrame, cfg: dict) -> None:
     UPDATE, :128-145) is served by the snapshot sink's MERGE instead
     (`writer.name=snapshot`)."""
     # Spark's JDBC writer quotes COLUMN identifiers via the dialect already;
-    # the raw `dbtable` string is the one identifier we must escape ourselves.
-    esc = cfg.get("keyword.escaper", "`")
-    quoted_table = ".".join(
-        f"{esc}{part.strip(esc)}{esc}" for part in str(cfg["table"]).split(".")
-    )
+    # the raw `dbtable` string is the one identifier escaping is for. OPT-IN
+    # (reference default is MySQL backticks, but an unconditional escaper
+    # would break every non-MySQL target): set keyword.escaper to '`', '"',
+    # or '[]' (SQL Server bracket pair).
+    esc = cfg.get("keyword.escaper", "")
+    if esc:
+        lq, rq = (esc[0], esc[1]) if len(esc) == 2 else (esc, esc)
+        quoted_table = ".".join(
+            f"{lq}{part}{rq}"
+            if not (part.startswith(lq) and part.endswith(rq))
+            else part
+            for part in str(cfg["table"]).split(".")
+        )
+    else:
+        quoted_table = cfg["table"]
     (
         df.write.mode(cfg.get("mode", "append"))
         .option("batchsize", int(cfg.get("batch.insert.size", 10000)))

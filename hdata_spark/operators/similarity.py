@@ -33,7 +33,11 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Cosine similarity; a zero-norm side yields NULL (undefined) instead of
+    an ANSI DIVIDE_BY_ZERO abort — dirty corpora must not kill the job.
+    try_divide (not a when-guard) so each interpreted dot product is
+    evaluated exactly once."""
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def cosine_topk(
@@ -94,8 +98,14 @@ def ivf_assign(
     # asc) into one BIGINT: csim is exact in 1e-9 units after round(.., 9),
     # and cell < 2^20 by contract. Map-side partial agg collapses the
     # n_cells candidate rows before the exchange.
+    # Undefined similarities (NULL from a zero norm, NaN from dirty
+    # embeddings) must rank BELOW every real one, not abort the ANSI cast
+    # to BIGINT.
     packed = (
-        F.round(F.col("csim") * F.lit(1_000_000_000)).cast("long")
+        F.round(
+            F.coalesce(F.nanvl(F.col("csim"), F.lit(-2.0)), F.lit(-2.0))
+            * F.lit(1_000_000_000)
+        ).cast("long")
         * F.lit(1 << 20)
         - F.col("cell")
     )

@@ -39,6 +39,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _staging_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
+    """Deterministic per-(tag, sf_dir) temp staging dir + staged flag.
+
+    Queries that must stage derived files (shard layouts, null-injected
+    copies) reuse one directory across invocations instead of leaking a
+    fresh mkdtemp per call; the marker file makes re-staging a no-op."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"hdata_spark_stage_{tag}_{key}")
+    return d, os.path.exists(os.path.join(d, "_STAGED"))
+
+
+def _mark_staged(d: str) -> None:
+    import os
+
+    open(os.path.join(d, "_STAGED"), "w").write("ok")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -555,16 +576,17 @@ def ref_shard_expand_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     union of shards must equal the unsharded table.
     """
     import os
-    import tempfile
 
     from hdata_spark.jobspec import read_source
 
-    o = load(spark, sf_dir, "orders")
-    d = tempfile.mkdtemp(prefix="hdata_spark_shards_")
-    for i in range(4):
-        o.filter(F.col("o_orderkey") % 4 == i).write.mode("overwrite").parquet(
-            os.path.join(d, f"orders_{i:03d}.parquet")
-        )
+    d, staged = _staging_dir("shards", sf_dir)
+    if not staged:
+        o = load(spark, sf_dir, "orders")
+        for i in range(4):
+            o.filter(F.col("o_orderkey") % 4 == i).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(d, f"orders_{i:03d}.parquet"))
+        _mark_staged(d)
     df = read_source(
         spark, {"name": "parquet", "path": f"{d}/orders_[000-003].parquet"}
     )
@@ -596,21 +618,21 @@ def ref_reader_null_subst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reader-side `null.string` / `null.non.string` substitution END-TO-END
     through the jobspec parquet reader (JDBCReader.java:129-134): nulls are
     injected deterministically, staged, and must come back substituted."""
-    import tempfile
-
     from hdata_spark.jobspec import read_source
 
-    o = load(spark, sf_dir, "orders")
-    raw = o.select(
-        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
-        .otherwise(F.col("o_orderpriority"))
-        .alias("pri"),
-        F.when(F.col("o_orderkey") % 4 == 0, F.lit(None))
-        .otherwise(F.col("o_totalprice").cast("decimal(18,2)"))
-        .alias("price"),
-    )
-    d = tempfile.mkdtemp(prefix="hdata_spark_nulls_")
-    raw.write.mode("overwrite").parquet(d + "/raw.parquet")
+    d, staged = _staging_dir("nulls", sf_dir)
+    if not staged:
+        o = load(spark, sf_dir, "orders")
+        raw = o.select(
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("pri"),
+            F.when(F.col("o_orderkey") % 4 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice").cast("decimal(18,2)"))
+            .alias("price"),
+        )
+        raw.write.mode("overwrite").parquet(d + "/raw.parquet")
+        _mark_staged(d)
     df = read_source(
         spark,
         {

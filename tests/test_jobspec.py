@@ -326,3 +326,51 @@ def test_mongo_reader_writer_registered():
     from hdata_spark.jobspec import READERS, WRITERS
 
     assert "mongodb" in READERS and "mongodb" in WRITERS
+
+
+def test_path_expansion_leaves_globs_with_gaps_alone(spark, tmp_path):
+    """`[0-4]` is ALSO Hadoop glob syntax: when the expanded literal paths
+    don't all exist, the spec must pass through as a glob, not crash on the
+    missing shards."""
+    df = spark.createDataFrame(pd.DataFrame({"k": [1, 2]}))
+    # only shards 0 and 2 exist — a gap
+    df.filter(df.k == 1).write.parquet(str(tmp_path / "part-0"))
+    df.filter(df.k == 2).write.parquet(str(tmp_path / "part-2"))
+    out = read_source(
+        spark, {"name": "parquet", "path": f"{tmp_path}/part-[0-4]"}
+    )
+    assert sorted(r["k"] for r in out.collect()) == [1, 2]
+
+
+def test_jdbc_writer_table_escaping_opt_in():
+    """Escaping must be opt-in (non-MySQL targets choke on backticks) and
+    support bracket pairs."""
+    from hdata_spark.jobspec import _writer_jdbc  # noqa: F401  (import only)
+
+    # exercise the quoting logic directly via a stub df that records dbtable
+    class _Rec:
+        def __init__(self):
+            self.table = None
+        def mode(self, m):
+            return self
+        def option(self, *a):
+            return self
+        def jdbc(self, url, table):
+            self.table = table
+
+    class _DF:
+        def __init__(self, rec):
+            self.write = rec
+
+    for cfg, expected in [
+        ({"table": "public.users", "url": "x"}, "public.users"),
+        ({"table": "db.orders", "url": "x", "keyword.escaper": "`"},
+         "`db`.`orders`"),
+        ({"table": "dbo.users", "url": "x", "keyword.escaper": "[]"},
+         "[dbo].[users]"),
+        ({"table": "`db`.`t`", "url": "x", "keyword.escaper": "`"},
+         "`db`.`t`"),
+    ]:
+        rec = _Rec()
+        _writer_jdbc(_DF(rec), cfg)
+        assert rec.table == expected, (cfg, rec.table)

@@ -152,3 +152,20 @@ def test_brute_force_topk_is_superset_reference(spark):
                 for r in ivf_search(assigned, qc, k=1).collect()}
     for qid, c in ivf_best.items():
         assert c <= bf_best[qid] + 1e-9
+
+
+def test_ivf_assign_survives_nan_and_zero_vectors(spark):
+    """Dirty embeddings (NaN components, all-zero vectors) must not abort
+    the ANSI cast in the packed argmax ordering — they rank below every real
+    similarity and still get a deterministic cell."""
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),      # centroids
+        (4, [float("nan"), 1.0]),               # NaN component
+        (5, [0.0, 0.0]),                        # zero norm
+        (6, [1.0, 1.0]),                        # clean
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["cell"] for r in ivf_assign(df, n_cells=2).collect()}
+    assert set(out) == {0, 1, 4, 5, 6}
+    assert out[6] == 0  # tie (cos=0.7071 to both) -> lowest cell wins
+    assert out[4] == 0 and out[5] == 0  # undefined sims -> deterministic floor
