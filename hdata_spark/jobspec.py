@@ -142,6 +142,17 @@ def _read_side_transforms(df: DataFrame, cfg: dict) -> DataFrame:
                     f_.name,
                     F.coalesce(F.col(f_.name), F.lit(v).cast(f_.dataType)),
                 )
+    if cfg.get("decimal.format"):
+        # DecimalFormat pattern applied to float/double at read
+        # (JDBCReader.java:59-62,136-143): the fraction-digit count of the
+        # pattern (e.g. '#.##' -> 2) becomes a half-up round.
+        pattern = str(cfg["decimal.format"])
+        scale = len(pattern.rsplit(".", 1)[1]) if "." in pattern else 0
+        for f_ in df.schema.fields:
+            if f_.dataType.typeName() in ("float", "double"):
+                df = df.withColumn(
+                    f_.name, F.round(F.col(f_.name), scale).cast(f_.dataType)
+                )
     return df
 
 
@@ -420,9 +431,24 @@ def _null_literal_cols(df: DataFrame, null_string: str) -> list:
 
 
 def _writer_parquet(df: DataFrame, cfg: dict) -> None:
+    """Lake sink; `partition.by` = dynamic partitioning, `partition.values`
+    = the reference's STATIC hive partition (`day='20140418'` — constant
+    columns appended then partitioned; hdata-hive/.../writer/hive/
+    HiveWriter.java:72-87, partition kv parse Utils.java:69-77)."""
+    part_cols = (
+        [c.strip() for c in cfg["partition.by"].split(",")]
+        if cfg.get("partition.by")
+        else []
+    )
+    if cfg.get("partition.values"):
+        for kv in str(cfg["partition.values"]).split(","):
+            k, v = kv.split("=", 1)
+            k = k.strip()
+            df = df.withColumn(k, F.lit(v.strip().strip("'\"")))
+            part_cols.append(k)
     w = df.write.mode(cfg.get("mode", "overwrite"))
-    if cfg.get("partition.by"):
-        w = w.partitionBy(*[c.strip() for c in cfg["partition.by"].split(",")])
+    if part_cols:
+        w = w.partitionBy(*part_cols)
     if cfg.get("max.records.per.file"):
         w = w.option("maxRecordsPerFile", int(cfg["max.records.per.file"]))
     w.parquet(cfg["path"])

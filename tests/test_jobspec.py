@@ -374,3 +374,34 @@ def test_jdbc_writer_table_escaping_opt_in():
         rec = _Rec()
         _writer_jdbc(_DF(rec), cfg)
         assert rec.table == expected, (cfg, rec.table)
+
+
+def test_reader_decimal_format_rounds_floats(spark, tmp_path):
+    """`decimal.format` pattern at read (JDBCReader.java:59-62,136-143):
+    fraction digits of the pattern become a round on float/double columns."""
+    src = str(tmp_path / "d.pq")
+    spark.createDataFrame(
+        pd.DataFrame({"x": [1.23456, 2.71828], "k": ["a", "b"]})
+    ).write.parquet(src)
+    out = read_source(
+        spark,
+        {"name": "parquet", "path": src, "decimal.format": "#.##"},
+    )
+    assert sorted(r["x"] for r in out.collect()) == [1.23, 2.72]
+
+
+def test_writer_static_partition_values(spark, tmp_path):
+    """Static hive partition (HiveWriter.java:72-87): `partition.values`
+    appends constant columns and partitions by them."""
+    import os
+
+    from hdata_spark.jobspec import write_sink
+
+    df = spark.createDataFrame(pd.DataFrame({"k": [1, 2]}))
+    out = str(tmp_path / "static")
+    write_sink(df, {"name": "parquet", "path": out,
+                    "partition.values": "day='20140418'"})
+    assert os.path.isdir(os.path.join(out, "day=20140418"))
+    back = spark.read.parquet(out)
+    assert sorted(r["k"] for r in back.collect()) == [1, 2]
+    assert set(back.columns) == {"k", "day"}
