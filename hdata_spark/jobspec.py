@@ -528,16 +528,24 @@ def _writer_jdbc(df: DataFrame, cfg: dict) -> None:
     )
 
 
-def _writer_kafka(df: DataFrame, cfg: dict) -> None:
-    """Kafka sink — reference K6 (hdata-kafka/.../writer/kafka/
-    KafkaWriter.java:16-54): fields separator-joined into value (also used
-    as key, matching the reference)."""
-    sep = _unescape(cfg.get("fields.separator", "\t"))
-    joined = df.select(
+def kafka_payload(df: DataFrame, sep: str = "\t") -> DataFrame:
+    """Kafka record projection — reference K6 (hdata-kafka/.../writer/kafka/
+    KafkaWriter.java:16-54): all fields separator-joined into `value`, with
+    `key` = `value` exactly as the reference produces. One deliberate
+    divergence: concat_ws SKIPS null fields where the reference's Guava
+    Joiner would throw on them. Split out so the projection is testable
+    without a broker."""
+    return df.select(
         F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns]).alias(
             "value"
         )
     ).withColumn("key", F.col("value"))
+
+
+def _writer_kafka(df: DataFrame, cfg: dict) -> None:
+    """Kafka sink — see kafka_payload; broker jars absent in sandbox, so the
+    write itself is option-mapping only."""
+    joined = kafka_payload(df, _unescape(cfg.get("fields.separator", "\t")))
     (
         joined.write.format("kafka")
         .option("kafka.bootstrap.servers", cfg["brokers"])
