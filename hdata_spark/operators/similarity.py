@@ -167,23 +167,27 @@ def hyperplane_signature(
     planes = vectors.filter(F.col(id_col) < n_planes).select(
         F.col(id_col).alias("plane"), F.col(vec_col).alias("pv")
     )
+    # SLIM bit aggregation — only (id, plane, bit) enters the agg, so it
+    # stays a HashAggregate with map-side combine; a first(embedding) here
+    # would demote it to SortAggregate AND push n_planes copies of every
+    # embedding through the exchange. The payload joins back on the unique
+    # id (sort-free shuffle-hash), crossing the wire once.
     bits = (
-        vectors.crossJoin(F.broadcast(planes))
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(planes))
         .select(
             id_col,
-            vec_col,
             "plane",
             F.when(dot(F.col(vec_col), F.col("pv")) > 0, F.lit(1))
             .otherwise(F.lit(0))
             .alias("bit"),
         )
         .groupBy(id_col)
-        .agg(
-            F.sum(F.expr("bit * CAST(pow(2, plane) AS BIGINT)")).alias("sig"),
-            F.first(vec_col).alias(vec_col),
-        )
+        .agg(F.sum(F.expr("bit * CAST(pow(2, plane) AS BIGINT)")).alias("sig"))
     )
-    return bits
+    return vectors.select(id_col, vec_col).join(
+        bits.hint("shuffle_hash"), id_col, "inner"
+    )
 
 
 def lsh_near_dup_pairs(
@@ -197,8 +201,14 @@ def lsh_near_dup_pairs(
 
     The candidate join is keyed on `sig` (256 buckets here) — per-bucket
     quadratic, globally near-linear. Exact cosine filters false collisions.
+    The signature frame is materialized (localCheckpoint) so the SELF-join
+    computes the hyperplane pipeline once, not once per side — the same
+    measured pattern as simhash_near_pairs; at production scale stage it to
+    the lake instead.
     """
-    sig = hyperplane_signature(vectors, n_planes, id_col, vec_col)
+    sig = hyperplane_signature(vectors, n_planes, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

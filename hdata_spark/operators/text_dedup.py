@@ -419,6 +419,94 @@ def ngram_jaccard_score(
 
 # ---------------------------------------------------------------- language id
 
+# Characteristic character-trigram profiles (public-knowledge frequent
+# trigrams per language); deterministic tiebreak order en > de > es > fr.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "and", "ion", "ent", " th", "er "),
+    "de": ("der", "sch", "ich", "ein", "und", "cht", "en "),
+    "es": ("que", "los", "ado", " de", "nte", "era", "es "),
+    "fr": ("les", "ait", "que", "eur", " de", "ent", "une"),
+}
+
+
+def _occurrence_count(text: Column, needle: str) -> Column:
+    """Occurrences of `needle` in `text` via length arithmetic —
+    (len(x) - len(replace(x, t, ''))) / len(t). Pure codegen'd string ops,
+    bit-identical in ANSI SQL (no regex dialect differences)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def lang_id_ngram_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-trigram language ID: per-language occurrence counts of a
+    fixed frequent-trigram profile over the lowercased text, prediction =
+    argmax with the en > de > es > fr tiebreak.
+
+    Zero shuffle, zero explode: each score is a handful of replace/length
+    expressions inside whole-stage codegen — the scale path for a
+    corpus-wide pass. Complements `lang_id_scores` (function-word lexicon):
+    trigrams see through missing stopwords (code-mixed or truncated docs).
+    """
+    low = F.lower(F.col(text_col))
+    s = df.select(
+        id_col,
+        *[
+            sum(
+                (_occurrence_count(low, t) for t in tris),
+                start=F.lit(0).cast("long"),
+            ).alias(f"s_{lang}")
+            for lang, tris in LANG_TRIGRAMS.items()
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")),
+            F.lit("de"),
+        )
+        .when(F.col("s_es") >= F.col("s_fr"), F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return s.withColumn("lang_pred", pred)
+
+
+def lang_id_ngram_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of lang_id_ngram_scores, generated from the SAME
+    trigram profiles so the two can never drift."""
+    score_sql = {
+        lang: " + ".join(
+            "(length(lower(text)) - length(replace(lower(text), "
+            f"'{t}', ''))) // {len(t)}"
+            for t in tris
+        )
+        for lang, tris in LANG_TRIGRAMS.items()
+    }
+    return f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST({score_sql["en"]} AS BIGINT) AS s_en,
+               CAST({score_sql["de"]} AS BIGINT) AS s_de,
+               CAST({score_sql["es"]} AS BIGINT) AS s_es,
+               CAST({score_sql["fr"]} AS BIGINT) AS s_fr
+        FROM {table})
+    SELECT doc_id, s_en, s_de, s_es, s_fr,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """
+
+
 # Tiny function-word lexicons; deterministic tiebreak order en > de > es > fr.
 LANG_LEXICONS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "for", "that", "with"),

@@ -1334,6 +1334,23 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_scores(load(spark, sf_dir, "documents"))
 
 
+def _langid_ngram_oracle() -> str:
+    from hdata_spark.operators.text_dedup import lang_id_ngram_oracle_sql
+
+    return lang_id_ngram_oracle_sql()
+
+
+@query("doc_lang_id_ngram", _langid_ngram_oracle())
+def doc_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (the n-gram heuristic twin of
+    doc_lang_id's function-word lexicon): per-language occurrence counts of
+    fixed frequent-trigram profiles, zero shuffle / zero explode — pure
+    codegen'd replace/length arithmetic, identical in the DuckDB oracle."""
+    from hdata_spark.operators.text_dedup import lang_id_ngram_scores
+
+    return lang_id_ngram_scores(load(spark, sf_dir, "documents"))
+
+
 @query(
     "doc_sha256",
     "SELECT doc_id, sha256(text) AS sha FROM documents",

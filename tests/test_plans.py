@@ -129,3 +129,15 @@ def test_pandas_udf_shows_arrow_exchange(spark):
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     s = plan_of(d.select(sha256_pudf(F.col("text"))))
     assert "ArrowEvalPython" in s
+
+
+def test_hyperplane_signature_slim_hash_agg(spark):
+    """The bit aggregation must not carry the embedding payload (that would
+    demote it to SortAggregate and shuffle n_planes copies of every vector)."""
+    from hdata_spark.operators.similarity import hyperplane_signature
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    s = plan_of(hyperplane_signature(e, n_planes=8))
+    assert "SortAggregate" not in s
+    assert "HashAggregate" in s
+    assert "ShuffledHashJoin" in s and "SortMergeJoin" not in s
