@@ -1388,6 +1388,57 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(d)
 
 
+@query(
+    "media_frame_sample",
+    """
+    WITH sized AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents WHERE length(text) >= 4),
+    frames AS (
+        SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+               f * (n // 4) AS byte_offset,
+               CASE WHEN f = 3 THEN n - 3 * (n // 4) ELSE n // 4 END AS frame_len,
+               sha256(substr(text, f * (n // 4) + 1,
+                      CASE WHEN f = 3 THEN n - 3 * (n // 4)
+                           ELSE n // 4 END)) AS frame_sha256
+        FROM sized, (SELECT unnest(range(4)) AS f))
+    SELECT doc_id, frame_idx, CAST(byte_offset AS BIGINT) AS byte_offset,
+           CAST(frame_len AS BIGINT) AS frame_len, frame_sha256
+    FROM frames
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/segment sampling as a 1->N mapInPandas UDTF over the binary
+    payload: 4 contiguous byte segments per asset with byte offsets and content
+    hashes. Oracle computes the same segments with text substrings — the
+    fixture text is pure ASCII, so byte offsets == character offsets."""
+    from hdata_spark.operators.multimodal import frame_sample, with_payload_from_text
+
+    d = with_payload_from_text(load(spark, sf_dir, "documents"))
+    return frame_sample(d, n_frames=4)
+
+
+@query(
+    "media_byte_histogram",
+    """
+    SELECT doc_id, CAST(ord(substr(text, i, 1)) // 16 AS INTEGER) AS bin,
+           count(*) AS n
+    FROM documents, LATERAL unnest(range(1, length(text) + 1)) t(i)
+    WHERE length(text) >= 1
+    GROUP BY 1, 2
+    """,
+)
+def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads: 16-bin byte histogram per
+    asset (numpy-vectorized inside mapInPandas) — the features stage a
+    media pipeline runs before embedding/dedup. ASCII fixture makes the
+    character-codepoint oracle byte-exact."""
+    from hdata_spark.operators.multimodal import byte_histogram, with_payload_from_text
+
+    d = with_payload_from_text(load(spark, sf_dir, "documents"))
+    return byte_histogram(d, bins=16)
+
+
 # =====================================================================
 # emb_* — embedding similarity
 # =====================================================================

@@ -169,3 +169,34 @@ def test_ivf_assign_survives_nan_and_zero_vectors(spark):
     assert set(out) == {0, 1, 4, 5, 6}
     assert out[6] == 0  # tie (cos=0.7071 to both) -> lowest cell wins
     assert out[4] == 0 and out[5] == 0  # undefined sims -> deterministic floor
+
+
+def test_multimodal_downsample_and_resize_stub(spark):
+    """Binary-in/binary-out plumbing: downsample keeps every stride-th byte;
+    the codec-backed resize is an honest documented stub."""
+    import pytest as _pytest
+
+    from hdata_spark.operators.multimodal import (
+        downsample_payloads,
+        resize_image,
+        with_payload_from_text,
+    )
+
+    d = with_payload_from_text(_docs(spark, [(1, "abcdefgh")]))
+    out = downsample_payloads(d, stride=2).collect()
+    assert bytes(out[0]["payload"]) == b"aceg"
+    with _pytest.raises(NotImplementedError):
+        resize_image(b"...", 64, 64)
+
+
+def test_frame_sample_short_payloads_dropped(spark):
+    from hdata_spark.operators.multimodal import frame_sample, with_payload_from_text
+
+    d = with_payload_from_text(_docs(spark, [(1, "ab"), (2, "abcdefghij")]))
+    rows = frame_sample(d, n_frames=4).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    by_idx = {r["frame_idx"]: r for r in rows}
+    assert len(by_idx) == 4
+    # 10 bytes -> steps of 2, last frame takes the remainder (4 bytes)
+    assert by_idx[0]["frame_len"] == 2 and by_idx[3]["frame_len"] == 4
+    assert by_idx[3]["byte_offset"] == 6
