@@ -142,16 +142,20 @@ def _read_side_transforms(df: DataFrame, cfg: dict) -> DataFrame:
                     f_.name,
                     F.coalesce(F.col(f_.name), F.lit(v).cast(f_.dataType)),
                 )
-    if cfg.get("decimal.format"):
-        # DecimalFormat pattern applied to float/double at read
-        # (JDBCReader.java:59-62,136-143): the fraction-digit count of the
-        # pattern (e.g. '#.##' -> 2) becomes a half-up round.
-        pattern = str(cfg["decimal.format"])
+    fmt = cfg.get("number.format") or cfg.get("decimal.format")
+    if fmt:
+        # DecimalFormat pattern applied to float/double at read — reference
+        # option key `number.format` (JDBCReaderProperties.java:21,
+        # JDBCReader.java:59-62,136-143); `decimal.format` kept as an alias.
+        # bround = HALF_EVEN, matching java.text.DecimalFormat's default
+        # rounding mode (plain round would be HALF_UP and diverge on exact
+        # midpoints like 0.125).
+        pattern = str(fmt)
         scale = len(pattern.rsplit(".", 1)[1]) if "." in pattern else 0
         for f_ in df.schema.fields:
             if f_.dataType.typeName() in ("float", "double"):
                 df = df.withColumn(
-                    f_.name, F.round(F.col(f_.name), scale).cast(f_.dataType)
+                    f_.name, F.bround(F.col(f_.name), scale).cast(f_.dataType)
                 )
     return df
 
@@ -440,7 +444,8 @@ def _writer_parquet(df: DataFrame, cfg: dict) -> None:
         if cfg.get("partition.by")
         else []
     )
-    if cfg.get("partition.values"):
+    static_partition = bool(cfg.get("partition.values"))
+    if static_partition:
         for kv in str(cfg["partition.values"]).split(","):
             k, v = kv.split("=", 1)
             k = k.strip()
@@ -449,6 +454,12 @@ def _writer_parquet(df: DataFrame, cfg: dict) -> None:
     w = df.write.mode(cfg.get("mode", "overwrite"))
     if part_cols:
         w = w.partitionBy(*part_cols)
+        if static_partition:
+            # DYNAMIC partition overwrite: replace only the partitions this
+            # write produces. Static mode would truncate the WHOLE path
+            # first, wiping sibling partitions — the reference's HiveWriter
+            # writes into only the named partition (HiveWriter.java:72-87).
+            w = w.option("partitionOverwriteMode", "dynamic")
     if cfg.get("max.records.per.file"):
         w = w.option("maxRecordsPerFile", int(cfg["max.records.per.file"]))
     w.parquet(cfg["path"])

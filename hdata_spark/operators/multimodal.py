@@ -170,6 +170,11 @@ def byte_histogram(
     The numpy bincount is fully vectorized per asset — this is the
     feature-extract stage a media pipeline runs before embedding/dedup,
     and its output feeds the ANN/similarity family directly."""
+    if bins < 1 or bins > 256 or 256 % bins:
+        raise ValueError(
+            f"bins={bins}: must divide 256 and lie in [1, 256] "
+            f"(bin = byte // (256/bins) must stay within [0, bins))"
+        )
     width = 256 // bins
 
     def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -429,6 +429,26 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _lang_argmax() -> Column:
+    """Shared argmax-with-tiebreak over (s_en, s_de, s_es, s_fr) score
+    columns: fixed priority en > de > es > fr on ties — both language-ID
+    variants (and their generated oracle CASEs) use this one chain."""
+    return (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")),
+            F.lit("de"),
+        )
+        .when(F.col("s_es") >= F.col("s_fr"), F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
 def _occurrence_count(text: Column, needle: str) -> Column:
     """Occurrences of `needle` in `text` via length arithmetic —
     (len(x) - len(replace(x, t, ''))) / len(t). Pure codegen'd string ops,
@@ -462,21 +482,7 @@ def lang_id_ngram_scores(
             for lang, tris in LANG_TRIGRAMS.items()
         ],
     )
-    pred = (
-        F.when(
-            (F.col("s_en") >= F.col("s_de"))
-            & (F.col("s_en") >= F.col("s_es"))
-            & (F.col("s_en") >= F.col("s_fr")),
-            F.lit("en"),
-        )
-        .when(
-            (F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")),
-            F.lit("de"),
-        )
-        .when(F.col("s_es") >= F.col("s_fr"), F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
-    return s.withColumn("lang_pred", pred)
+    return s.withColumn("lang_pred", _lang_argmax())
 
 
 def lang_id_ngram_oracle_sql(table: str = "documents") -> str:
@@ -535,18 +541,4 @@ def lang_id_scores(
     s = df.select(
         id_col, *[c.alias(f"s_{lang}") for lang, c in score_cols.items()]
     )
-    pred = (
-        F.when(
-            (F.col("s_en") >= F.col("s_de"))
-            & (F.col("s_en") >= F.col("s_es"))
-            & (F.col("s_en") >= F.col("s_fr")),
-            F.lit("en"),
-        )
-        .when(
-            (F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")),
-            F.lit("de"),
-        )
-        .when(F.col("s_es") >= F.col("s_fr"), F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
-    return s.withColumn("lang_pred", pred)
+    return s.withColumn("lang_pred", _lang_argmax())

@@ -30,6 +30,8 @@ never import this package).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -60,12 +62,17 @@ def repo_progress_stream(
 ) -> DataFrame:
     """Drain `events_dir` through a stateful per-repo progress monitor.
 
-    Returns the collected update stream (one row per (repo, batch-with-
-    changes)): the LAST row per repo carries the final running totals.
-    Bounded run via Trigger.AvailableNow; the sink is foreachBatch ->
-    parquet append (NOT the memory sink — foreachBatch supports checkpoint
-    RECOVERY, so re-invoking with the same checkpoint_dir resumes the state
-    store and processes only new WAL files; memory sinks cannot recover).
+    Returns the update LOG read from `output_dir` (one row per (repo,
+    batch-with-changes), stamped with batch_id): the row with the highest
+    batch_id per repo carries the current running totals. Bounded run via
+    Trigger.AvailableNow; the sink is foreachBatch -> parquet append (NOT
+    the memory sink — foreachBatch supports checkpoint RECOVERY, so
+    re-invoking with the same checkpoint_dir resumes the state store and
+    processes only new WAL files; memory sinks cannot recover). With the
+    default `output_dir` the log is CUMULATIVE across resumed runs (batch_id
+    keeps increasing — it is the durable update stream); pass a fresh
+    `output_dir` per invocation to see only that run's updates. A resume
+    with no new WAL files returns an empty frame for a fresh output_dir.
     """
     output_dir = output_dir or checkpoint_dir + "_out"
 
@@ -102,17 +109,20 @@ def repo_progress_stream(
             "append"
         ).parquet(output_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(_append)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    from hdata_spark.streaming.stream_replay import drain_available_now
+
+    drain_available_now(
+        stream.writeStream.foreachBatch(_append).outputMode("update"),
+        checkpoint_dir,
+        timeout_sec,
+        "repo_progress_stream",
     )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        q.awaitTermination()
-        raise TimeoutError(f"repo_progress_stream did not drain in {timeout_sec}s")
+    if not os.path.isdir(output_dir):
+        # zero batches ran (resume with no new WAL files): empty update log
+        out_schema = T.StructType(
+            PROGRESS_SCHEMA.fields + [T.StructField("batch_id", T.LongType())]
+        )
+        return spark.createDataFrame([], out_schema)
     return spark.read.parquet(output_dir)
 
 
@@ -120,7 +130,7 @@ def windowed_event_counts_stream(
     spark: SparkSession,
     events_dir: str,
     checkpoint_dir: str,
-    query_name: str = "windowed_counts",
+    output_dir: str | None = None,
     window_duration: str = "1 hour",
     lateness: str = "30 minutes",
     ts_col: str = "ts",
@@ -132,10 +142,13 @@ def windowed_event_counts_stream(
     Append mode: a window row is emitted exactly once, when the watermark
     (max event time - `lateness`) passes its end; events arriving later
     than the bound are DROPPED from their (already finalized) window. Runs
-    bounded with AvailableNow; returns the finalized windows collected in
-    the memory sink (open windows at end-of-input are intentionally absent
-    — the append contract).
+    bounded with AvailableNow into a parquet file sink (file sinks recover
+    from the checkpoint, so re-invoking with the same checkpoint_dir tails
+    new WAL files and appends only newly finalized windows; open windows at
+    end-of-input are intentionally absent — the append contract). Returns
+    the finalized windows accumulated in `output_dir`.
     """
+    output_dir = output_dir or checkpoint_dir + "_out"
     schema = spark.read.parquet(events_dir).schema
     agg = (
         spark.readStream.schema(schema)
@@ -150,18 +163,14 @@ def windowed_event_counts_stream(
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
+    from hdata_spark.streaming.stream_replay import drain_available_now
+
+    drain_available_now(
+        agg.writeStream.format("parquet")
         .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+        .option("path", output_dir),
+        checkpoint_dir,
+        timeout_sec,
+        "windowed_event_counts_stream",
     )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        q.awaitTermination()
-        raise TimeoutError(
-            f"windowed_event_counts_stream did not drain in {timeout_sec}s"
-        )
-    return spark.table(query_name)
+    return spark.read.parquet(output_dir)

@@ -126,6 +126,28 @@ def apply_change_batch(
     return merge_stats
 
 
+def drain_available_now(
+    writer, checkpoint_dir: str, timeout_sec: int, desc: str
+):
+    """Start a bounded (Trigger.AvailableNow) streaming write and block
+    until it drains; on timeout, stop the query and RAISE instead of
+    returning over a mid-flight sink. Shared by every bounded-drain
+    operator (stream_replay, stateful progress, watermarked windows)."""
+    q = (
+        writer.option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        q.awaitTermination()
+        raise TimeoutError(
+            f"{desc} did not drain within {timeout_sec}s "
+            f"(resume with the same checkpoint to continue)"
+        )
+    return q
+
+
 def stream_replay(
     spark: SparkSession,
     events_dir: str,
@@ -156,25 +178,15 @@ def stream_replay(
         )
         n_batches["n"] += 1
 
-    q = (
+    drain_available_now(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
-        .writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+        .writeStream.foreachBatch(_apply),
+        checkpoint_dir,
+        timeout_sec,
+        "stream_replay",
     )
-    if not q.awaitTermination(timeout_sec):
-        # Drain exceeded the bound: stop the query rather than returning a
-        # success-shaped dict over a mid-flight table.
-        q.stop()
-        q.awaitTermination()
-        raise TimeoutError(
-            f"stream_replay did not drain within {timeout_sec}s "
-            f"({n_batches['n']} batches committed; resume with the same "
-            f"checkpoint to continue)"
-        )
     return {
         "batches": n_batches["n"],
         "final_snapshot_version": table.current_version(),

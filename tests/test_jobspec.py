@@ -446,3 +446,59 @@ def test_kafka_payload_projection(spark):
     assert row["value"] == "a|1"  # concat_ws SKIPS nulls (the reference's
     # Guava Joiner would NPE on a null field — deliberate hardening)
     assert row["key"] == row["value"]
+
+
+def test_static_partition_overwrite_keeps_siblings(spark, tmp_path):
+    """A static-partition overwrite must replace ONLY the named partition
+    (HiveWriter semantics), never truncate sibling partitions."""
+    import os
+
+    from hdata_spark.jobspec import write_sink
+
+    out = str(tmp_path / "t")
+    write_sink(
+        spark.createDataFrame(pd.DataFrame({"k": [1]})),
+        {"name": "parquet", "path": out, "partition.values": "day='d1'"},
+    )
+    write_sink(
+        spark.createDataFrame(pd.DataFrame({"k": [2]})),
+        {"name": "parquet", "path": out, "partition.values": "day='d2'"},
+    )
+    assert os.path.isdir(out + "/day=d1") and os.path.isdir(out + "/day=d2")
+    back = spark.read.parquet(out)
+    assert sorted((r["k"], r["day"]) for r in back.collect()) == [
+        (1, "d1"), (2, "d2"),
+    ]
+    # rewriting an existing partition replaces just that partition
+    write_sink(
+        spark.createDataFrame(pd.DataFrame({"k": [9]})),
+        {"name": "parquet", "path": out, "partition.values": "day='d1'"},
+    )
+    back = spark.read.parquet(out)
+    assert sorted((r["k"], r["day"]) for r in back.collect()) == [
+        (2, "d2"), (9, "d1"),
+    ]
+
+
+def test_number_format_reference_key_and_half_even(spark, tmp_path):
+    """The reference key is number.format (JDBCReaderProperties.java:21) and
+    DecimalFormat's default rounding is HALF_EVEN: 0.125 -> 0.12, not 0.13."""
+    src = str(tmp_path / "n.pq")
+    spark.createDataFrame(
+        pd.DataFrame({"x": [0.125, 0.135]})
+    ).write.parquet(src)
+    out = read_source(
+        spark, {"name": "parquet", "path": src, "number.format": "#.##"}
+    )
+    assert sorted(r["x"] for r in out.collect()) == [0.12, 0.14]
+
+
+def test_byte_histogram_rejects_invalid_bins(spark):
+    import pytest as _pytest
+
+    from hdata_spark.operators.multimodal import byte_histogram
+
+    df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
+    for bad in (0, 10, 512):
+        with _pytest.raises(ValueError):
+            byte_histogram(df, bins=bad)

@@ -96,7 +96,6 @@ def test_watermark_drops_late_events_from_finalized_windows(spark, tmp_path):
         spark,
         flat,
         str(tmp_path / "ckpt"),
-        query_name="t_windows",
         window_duration="1 hour",
         lateness="30 minutes",
     )
@@ -140,3 +139,37 @@ def test_progress_stream_resumes_from_checkpoint(spark, tmp_path):
     # only the NEW file was processed, on top of RESTORED state (1+1 events,
     # max lsn from the new file) — not a recount from scratch
     assert rows == {("a", 2, 7)}
+
+
+def test_windowed_stream_resumes_from_checkpoint(spark, tmp_path):
+    """The windowed query's file sink must recover from its checkpoint:
+    re-invoking with the same checkpoint tails only new WAL files and
+    appends newly finalized windows (the memory sink could not do this)."""
+    import glob
+    import os
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+
+    def add_file(idx, ts_list):
+        tmp = str(tmp_path / f"s{idx}")
+        spark.createDataFrame(
+            pd.DataFrame({"ts": pd.to_datetime(ts_list), "v": [1] * len(ts_list)})
+        ).repartition(1).write.parquet(tmp)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{flat}/{idx:02d}.parquet"
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    add_file(0, ["2026-01-01 00:10", "2026-01-01 02:30"])
+    out1 = windowed_event_counts_stream(spark, flat, ckpt)
+    n1 = out1.count()  # nothing finalized yet (single batch)
+    # second invocation, same checkpoint: new file advances the watermark
+    add_file(1, ["2026-01-01 06:00"])
+    out2 = windowed_event_counts_stream(spark, flat, ckpt)
+    rows = {
+        r["window_start"].strftime("%H:%M"): r["n_events"] for r in out2.collect()
+    }
+    assert rows.get("00:00") == 1 and rows.get("02:00") == 1
+    assert out2.count() >= n1
