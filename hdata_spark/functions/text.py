@@ -76,6 +76,22 @@ def scrub_newlines(col: Column, replacement: str = " ") -> Column:
     return F.regexp_replace(col, "\r\n|\r|\n", replacement)
 
 
+# GPT-2-style pre-tokenizer split pattern, LOOKAHEAD-FREE so the identical
+# pattern runs on Java regex (Spark) and RE2 (DuckDB) with the same
+# leftmost-first alternation semantics: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, whitespace runs. ASCII classes
+# (not \p{L}) to dodge unicode-class dialect differences.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer segments of the text —
+    the standard training-cost estimator (GPT-2 pre-tokenization splits,
+    before merges; merges only split further, so this lower-bounds and
+    tracks real BPE token counts). Codegen'd regexp_count, zero Python."""
+    return F.regexp_count(col, F.lit(BPE_SPLIT_PATTERN)).cast("long")
+
+
 def normalize_special_float(col: Column, convert_null: bool = False) -> Column:
     """NaN / Infinity -> 0.0 for a float/double column (optionally NULL too).
 

@@ -1029,6 +1029,37 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_count_oracle() -> str:
+    from hdata_spark.functions.text import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n_ws_tokens
+    FROM documents
+    """
+
+
+@query("doc_bpe_token_count", _bpe_count_oracle())
+def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting next to the whitespace count: the GPT-2-style
+    pre-tokenizer split pattern, shared verbatim with the DuckDB oracle
+    (lookahead-free, so Java regex and RE2 agree)."""
+    from hdata_spark.functions.text import bpe_token_count
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.size(F.split(F.trim(F.col("text")), " +"))
+        .cast("long")
+        .alias("n_ws_tokens"),
+    )
+
+
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
 
 

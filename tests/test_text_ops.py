@@ -200,3 +200,22 @@ def test_frame_sample_short_payloads_dropped(spark):
     # 10 bytes -> steps of 2, last frame takes the remainder (4 bytes)
     assert by_idx[0]["frame_len"] == 2 and by_idx[3]["frame_len"] == 4
     assert by_idx[3]["byte_offset"] == 6
+
+
+def test_bpe_token_count_segments(spark):
+    """Pre-tokenizer segments: contractions split off, punctuation runs and
+    space-prefixed words count separately."""
+    from hdata_spark.functions.text import bpe_token_count
+
+    d = spark.createDataFrame(
+        [(1, "I'll go, won't you?"), (2, "abc 123"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n"] for r in d.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n")
+    ).collect()}
+    # I | 'll | _go | , | _won | 't | _you | ?  -> 8 segments
+    assert out[1] == 8
+    # abc | _123 -> 2
+    assert out[2] == 2
+    assert out[3] == 0
