@@ -1470,6 +1470,83 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_histogram(d, bins=16)
 
 
+@query(
+    "media_feature_ann",
+    """
+    WITH h AS (
+        SELECT doc_id, CAST(ord(substr(text, i, 1)) // 16 AS INTEGER) AS bin,
+               count(*) AS n
+        FROM documents, LATERAL unnest(range(1, length(text) + 1)) t(i)
+        WHERE length(text) >= 1
+        GROUP BY 1, 2),
+    norms AS (SELECT doc_id, sqrt(CAST(sum(n * n) AS DOUBLE)) AS nrm
+              FROM h GROUP BY 1),
+    q AS (SELECT * FROM h WHERE doc_id < 3),
+    dots AS (
+        SELECT q.doc_id AS query_id, h.doc_id AS doc_id,
+               CAST(sum(q.n * h.n) AS DOUBLE) AS dp
+        FROM q JOIN h ON q.bin = h.bin AND q.doc_id <> h.doc_id
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT d.query_id, d.doc_id,
+               round(d.dp / (nq.nrm * nd.nrm), 6) AS cosine
+        FROM dots d
+        JOIN norms nq ON nq.doc_id = d.query_id
+        JOIN norms nd ON nd.doc_id = d.doc_id)
+    SELECT query_id, doc_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, doc_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def media_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media features -> similarity, end to end: byte-histogram features
+    from the binary payload (mapInPandas), then cosine top-5 computed
+    RELATIONALLY over the sparse (doc_id, bin, n) rows — dot products are an
+    equi-join on `bin` + hash agg, so no dense vector is ever materialized
+    and the shuffle is keyed by feature bin. The sparse-join cosine is the
+    shape that scales to high-dimensional sparse features (bag-of-words,
+    hashed n-grams) where dense arrays would not."""
+    from hdata_spark.operators.multimodal import byte_histogram, with_payload_from_text
+
+    h = byte_histogram(
+        with_payload_from_text(load(spark, sf_dir, "documents")), bins=16
+    )
+    norms = h.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("n") * F.col("n")).cast("double")).alias("nrm")
+    )
+    q = h.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "bin", F.col("n").alias("qn")
+    )
+    dots = (
+        h.join(F.broadcast(q), "bin")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qn") * F.col("n")).cast("double").alias("dp"))
+    )
+    scored = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("qnrm")),
+            "query_id",
+        )
+        .join(norms, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("dp") / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
 # =====================================================================
 # emb_* — embedding similarity
 # =====================================================================
