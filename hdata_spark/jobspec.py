@@ -95,6 +95,9 @@ def expand_shards(content: str) -> list[str]:
     return sorted(out)
 
 
+_URI_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
 def _expand_paths(path: str) -> list[str]:
     """Shard-expand a PATH spec only when every expanded path actually
     exists; otherwise pass the comma-split pieces through untouched.
@@ -104,13 +107,29 @@ def _expand_paths(path: str) -> list[str]:
     filesystem as a glob, not become five literal paths that crash on the
     missing ones. (Table names in `_reader_jdbc` always expand — there is
     no globbing in SQL identifiers.)
+
+    The existence probe is driver-local, so it only disambiguates LOCAL
+    paths. On a remote scheme (s3a://, hdfs://) a MULTI-digit range like
+    `part_[000-031]` expands unconditionally: as a glob char-class it could
+    only ever match ONE character from the set, which cannot match the
+    multi-digit shard names it visibly spells — glob intent is impossible,
+    so falling through (the pre-round-3 behavior) silently read nothing.
+    Single-digit remote ranges keep glob passthrough (both readings are
+    plausible; Hadoop's glob matcher resolves them server-side).
     """
     pieces = [p.strip() for p in str(path).split(",") if p.strip()]
     expanded = expand_shards(path)
-    if expanded != sorted(set(pieces)) and all(
-        os.path.exists(p) for p in expanded
-    ):
+    if expanded == sorted(set(pieces)):
+        return pieces
+    if all(os.path.exists(p) for p in expanded):
         return expanded
+    if any(_URI_SCHEME_RE.match(p) and not p.startswith("file://") for p in pieces):
+        multi_digit = any(
+            (m := _SHARD_PIECE_RE.match(p)) and len(m.group(2)) > 1
+            for p in pieces
+        )
+        if multi_digit:
+            return expanded
     return pieces
 
 

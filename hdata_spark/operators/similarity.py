@@ -12,9 +12,12 @@ three tiers trade recall for scan cost:
   first P data vectors, deterministic and engine-portable); near-dup pairs
   join on equal signature — a bucketed equi-join, never n^2.
 
-Centroids/hyperplanes derived from leading vec_ids stand in for a k-means
-fit: the *query shapes* (assign, prune, bucket-join) are what carries to the
-real fit, and determinism is what makes the DuckDB oracles exact.
+Centroids come from ``kmeans_fit`` — a seeded deterministic Lloyd's
+iteration (init = first n_cells vectors, exact fixed-point means) — so the
+fit itself, not just the query shape, is engine-portable and the DuckDB
+oracles stay exact. ``ivf_probe`` adds multi-probe (nprobe nearest cells per
+query), the standard IVF recall lever. Hyperplanes for LSH remain the
+leading vectors (deterministic by construction).
 """
 
 from __future__ import annotations
@@ -69,21 +72,127 @@ def cosine_topk(
     )
 
 
-def ivf_assign(
+#: Fixed-point unit for k-means centroid means: coordinates are accumulated
+#: as round(val * 1e7) BIGINTs, so the per-cell mean is an EXACT integer sum
+#: (order-independent, overflow-safe to ~1e11 rows/cell) divided once in
+#: double — bit-identical between Spark and the DuckDB oracle. The 1e-7
+#: quantization is far below any clustering-relevant signal.
+MEAN_UNIT = 10_000_000
+
+
+def _check_n_cells(n_cells: int) -> None:
+    # The packed-BIGINT argmax ordering reserves 20 low bits for the cell id
+    # (see ivf_assign); a larger cell space would silently corrupt the
+    # ordering instead of erroring.
+    if n_cells >= 1 << 20:
+        raise ValueError(
+            f"n_cells must be < 2^20 (got {n_cells}): the packed argmax "
+            "ordering allots 20 bits to the cell id"
+        )
+
+
+def seed_centroids(
     vectors: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest 'centroid' (= first n_cells vectors).
-
-    One broadcast cross join + per-vector argmax — the IVF build step. At
-    cluster scale the output is written partitioned by `cell`, making search
-    a partition-pruned scan.
-    """
-    centroids = vectors.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+    """Deterministic centroid seed: the first `n_cells` vectors by id."""
+    _check_n_cells(n_cells)
+    return vectors.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell"), F.col(vec_col).alias("cv")
     )
+
+
+def _mean_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """Per-cell elementwise mean via exact fixed-point sums (see MEAN_UNIT).
+
+    posexplode -> codegen'd integer agg with map-side combine (shuffle volume
+    = n_cells * dim, independent of row count); the tiny (cell, pos, coord)
+    result folds back to arrays with an interpreted HOF — fine on n_cells
+    rows. A cell that attracted no vectors disappears (standard Lloyd's).
+    """
+    coords = (
+        assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .select(
+            "cell",
+            "pos",
+            F.round(F.col("val").cast("double") * F.lit(float(MEAN_UNIT)))
+            .cast("long")
+            .alias("u"),
+        )
+        .groupBy("cell", "pos")
+        .agg(F.sum("u").alias("su"), F.count("*").alias("n"))
+        .select(
+            "cell",
+            "pos",
+            (
+                F.col("su").cast("double")
+                / (F.col("n") * F.lit(MEAN_UNIT)).cast("double")
+            ).alias("coord"),
+        )
+    )
+    return coords.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "coord"))),
+            lambda s: s["coord"],
+        ).alias("cv")
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Seeded deterministic Lloyd's fit -> (cell, cv) centroids.
+
+    Init = first `n_cells` vectors by id (the seed — no RNG, so the fit is
+    reproducible across engines and runs); each iteration assigns every
+    vector to its max-rounded-cosine centroid (the same slim packed-BIGINT
+    argmax as ivf_assign) and recomputes centroids as exact fixed-point
+    elementwise means. Everything is order-independent, which is what makes
+    the DuckDB oracle able to reproduce the fit bit-for-bit (the `emb_ivf_ann`
+    driver check covers fit + assign + multi-probe search end to end).
+
+    Scale shape: per iteration one pass over `vectors` (broadcast centroids,
+    map-side-combined integer agg); centroids are localCheckpoint'd per
+    iteration so the lineage stays one-pass deep. No driver collect anywhere.
+    """
+    _check_n_cells(n_cells)
+    centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
+    for _ in range(n_iters):
+        assigned = ivf_assign(
+            vectors, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+            centroids=centroids,
+        )
+        centroids = _mean_centroids(assigned, vec_col).localCheckpoint(
+            eager=False
+        )
+    return centroids
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid's cell.
+
+    `centroids` (cell, cv) comes from `kmeans_fit` (the real path) or
+    defaults to the first-n seed (deterministic stand-in, kept for
+    back-compat and as the k-means init). One broadcast cross join +
+    per-vector argmax — the IVF build step. At cluster scale the output is
+    written partitioned by `cell`, making search a partition-pruned scan.
+    """
+    if centroids is None:
+        centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
+    else:
+        _check_n_cells(n_cells)
     # SLIM argmax: the embedding payload never enters the aggregate. A
     # row_number window (or a first(embedding) agg) would push n_cells
     # copies of every embedding through a sort/immutable-buffer
@@ -120,6 +229,37 @@ def ivf_assign(
     )
 
 
+def ivf_probe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Multi-probe cell selection: the `nprobe` nearest cells per query.
+
+    Returns one row per (query, probed cell) — feed straight into
+    `ivf_search`, which unions the probed cells' candidates. nprobe > 1 is
+    the standard IVF recall lever: a query near a cell boundary finds its
+    true neighbors in the runner-up cell at the cost of scanning nprobe/K of
+    the data instead of 1/K. The query side is tiny, so the row_number
+    window here is driver-scale work, not a data shuffle.
+    """
+    scored = queries.crossJoin(F.broadcast(centroids)).select(
+        *queries.columns,
+        "cell",
+        F.round(cosine(F.col(query_vec_col), F.col("cv")), 9).alias("_csim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_csim").desc_nulls_last(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .drop("_rn", "_csim")
+    )
+
+
 def ivf_search(
     assigned: DataFrame,
     queries: DataFrame,
@@ -128,10 +268,13 @@ def ivf_search(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """ANN search: scan only the query's own cell, exact top-k inside it.
+    """ANN search: scan only the probed cells, exact top-k inside their union.
 
-    `queries` must carry (query_id, qv, cell). The probe is an equi-join on
-    `cell` — partition pruning at scale, bucketed shuffle here.
+    `queries` must carry (query_id, qv, cell) — one row per probed cell
+    (single-probe: the query's own cell; multi-probe: `ivf_probe` output).
+    The probe is an equi-join on `cell` — partition pruning at scale,
+    bucketed shuffle here. Each vector lives in exactly one cell, so the
+    multi-probe union never duplicates a candidate.
     """
     cands = assigned.join(
         F.broadcast(queries), on="cell"

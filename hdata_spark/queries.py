@@ -44,12 +44,25 @@ def _staging_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
 
     Queries that must stage derived files (shard layouts, null-injected
     copies) reuse one directory across invocations instead of leaking a
-    fresh mkdtemp per call; the marker file makes re-staging a no-op."""
+    fresh mkdtemp per call; the marker file makes re-staging a no-op.
+
+    The key folds in the CONTENT identity of the fixture (name/size/mtime of
+    every parquet under sf_dir), not just its path: regenerating the fixture
+    in place invalidates the cache, so staged copies can never silently
+    diverge from the oracle's view of the fresh data."""
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    h = hashlib.md5(sf_dir.encode())
+    try:
+        for fn in sorted(os.listdir(sf_dir)):
+            if fn.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, fn))
+                h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except FileNotFoundError:
+        pass
+    key = h.hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"hdata_spark_stage_{tag}_{key}")
     return d, os.path.exists(os.path.join(d, "_STAGED"))
 
@@ -1641,27 +1654,60 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-@query(
-    "emb_ivf_ann",
-    f"""
-    WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
-               WHERE vec_id < 16),
-    assigned AS (
+def _ivf_assign_sql(cents: str) -> str:
+    """DuckDB twin of operators.similarity.ivf_assign vs centroid CTE `cents`."""
+    return f"""
         SELECT vec_id, embedding, cell FROM (
             SELECT e.vec_id, e.embedding, c.cell,
                    row_number() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY round({_cos_sql("e.embedding", "c.cv")}, 9) DESC,
                                 c.cell ASC) AS rn
-            FROM embeddings e, c)
-        WHERE rn = 1),
-    q AS (SELECT vec_id AS query_id, embedding AS qv, cell
-          FROM assigned WHERE vec_id < 5),
+            FROM embeddings e, {cents} c)
+        WHERE rn = 1"""
+
+
+def _ivf_mean_sql(src: str) -> str:
+    """DuckDB twin of the exact fixed-point elementwise mean
+    (operators.similarity._mean_centroids, MEAN_UNIT=1e7)."""
+    return f"""
+        SELECT cell, list(coord ORDER BY pos) AS cv FROM (
+            SELECT cell, pos, su::DOUBLE / (n * 10000000)::DOUBLE AS coord
+            FROM (
+                SELECT cell, pos, sum(u) AS su, count(*) AS n FROM (
+                    SELECT cell, generate_subscripts(embedding, 1) AS pos,
+                           round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS u
+                    FROM {src})
+                GROUP BY cell, pos))
+        GROUP BY cell"""
+
+
+@query(
+    "emb_ivf_ann",
+    f"""
+    WITH c0 AS (SELECT vec_id::INT AS cell, embedding AS cv FROM embeddings
+                WHERE vec_id < 16),
+    a1 AS ({_ivf_assign_sql("c0")}),
+    c1 AS ({_ivf_mean_sql("a1")}),
+    a2 AS ({_ivf_assign_sql("c1")}),
+    c2 AS ({_ivf_mean_sql("a2")}),
+    assigned AS ({_ivf_assign_sql("c2")}),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 5),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_cos_sql("q.qv", "c.cv")}, 9) DESC,
+                                c.cell ASC) AS rn
+            FROM q, c2 c)
+        WHERE rn <= 2),
     cand AS (
-        SELECT q.query_id, a.vec_id, a.cell,
-               round({_cos_sql("q.qv", "a.embedding")}, 6) AS cosine
-        FROM assigned a JOIN q ON a.cell = q.cell
-        WHERE a.vec_id <> q.query_id)
+        SELECT p.query_id, a.vec_id, a.cell,
+               round({_cos_sql("p.qv", "a.embedding")}, 6) AS cosine
+        FROM assigned a JOIN probes p ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id)
     SELECT query_id, vec_id, cell, cosine FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, vec_id ASC) AS rn
@@ -1670,18 +1716,27 @@ def _cos_sql(a: str, b: str) -> str:
     """,
 )
 def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign vectors to nearest-centroid cells, search only
-    the query's cell (partition-pruned scan at cluster scale). Centroids =
-    first 16 vectors — a deterministic stand-in for a k-means fit; the query
-    shape (assign, prune, in-cell top-k) is the scale path."""
-    from hdata_spark.operators.similarity import ivf_assign, ivf_search
+    """IVF ANN with a REAL fit: seeded deterministic k-means (2 Lloyd's
+    iterations, exact fixed-point means — operators/similarity.py kmeans_fit)
+    -> assign to nearest-centroid cells -> multi-probe search (nprobe=2
+    nearest cells per query, the recall lever) -> exact top-5 in the probed
+    union. At cluster scale `cell` is the table's partition key, so a probe
+    is partition pruning. The oracle unrolls the identical fit in SQL —
+    fit, assignment, probe choice, and scores all value-checked."""
+    from hdata_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe,
+        ivf_search,
+        kmeans_fit,
+    )
 
     e = load(spark, sf_dir, "embeddings")
-    assigned = ivf_assign(e, n_cells=16)
-    q = assigned.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell"
+    cent = kmeans_fit(e, n_cells=16, n_iters=2)
+    assigned = ivf_assign(e, n_cells=16, centroids=cent)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    return ivf_search(assigned, q, k=5)
+    return ivf_search(assigned, ivf_probe(q, cent, nprobe=2), k=5)
 
 
 @query(

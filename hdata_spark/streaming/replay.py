@@ -81,6 +81,13 @@ class ReplayConfig:
     # affected buckets every epoch; read-optimized, commit-heavy).
     sink_commit: str = "append"
     compact_at_end: bool = True
+    # Streaming-mode compaction trigger: when a micro-batch commit leaves
+    # more than this many UNCOMPACTED delta files in the table, the stream
+    # path folds them with `compact()` before the next trigger. Per-batch
+    # commit stays metadata-only (the fast-append invariant); compaction cost
+    # is amortized over ~threshold batches. None disables auto-compaction
+    # (callers own the cadence, e.g. a separate maintenance job).
+    stream_compact_delta_files: int | None = 64
 
 
 def _fingerprint_agg(lsn_col: str = "lsn"):

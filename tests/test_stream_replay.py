@@ -105,6 +105,79 @@ def test_stream_tail_new_files_only(spark, tmp_path, small_fixture):
     assert_state_equal(table.read(spark).toPandas(), oracle_final_state(base, events))
 
 
+def test_stream_fast_append_metadata_only_commits(spark, tmp_path, small_fixture):
+    """sink_commit='append' (the default, honored since round 3): every
+    micro-batch commit is a metadata-only manifest APPEND — previously
+    committed data files are never dropped or rewritten mid-stream — and the
+    final MOR-resolved state still matches the oracle."""
+    from hdata_spark.streaming.replay import ReplayConfig
+
+    base, events = small_fixture
+    events_dir = _write_event_files(events, str(tmp_path / "events"))
+    table, ledger, metrics, registry, ckpt = _mk(tmp_path, "eng")
+    table.overwrite(spark, spark.createDataFrame(base))
+    v_base = table.current_version()
+    stats = stream_replay(
+        spark, events_dir, table, ledger, metrics, registry, ckpt,
+        cfg=ReplayConfig(stream_compact_delta_files=None),
+        max_files_per_trigger=1,
+    )
+    assert stats["batches"] >= 2
+    # fast-append path actually taken: uncompacted deltas remain
+    assert table.delta_file_count() > 0
+    # append-only manifests: each stream commit's file set is a superset of
+    # its predecessor's (a COW merge would REPLACE affected buckets' files)
+    prev = None
+    for v in range(v_base, table.current_version() + 1):
+        m = table._read_manifest(v)
+        files = {f for fs in m["buckets"].values() for f in fs}
+        if prev is not None:
+            assert prev <= files, f"v{v} dropped files committed by v{v-1}"
+        prev = files
+    for e in ledger.committed_epochs():
+        assert ledger.read(e)["commit_kind"] == "fast_append"
+    assert_state_equal(table.read(spark).toPandas(), oracle_final_state(base, events))
+
+
+def test_stream_delta_threshold_compaction(spark, tmp_path, small_fixture):
+    """Crossing stream_compact_delta_files triggers an in-stream compaction;
+    state stays correct and the delta backlog is bounded by ~one batch."""
+    from hdata_spark.streaming.replay import ReplayConfig
+
+    base, events = small_fixture
+    events_dir = _write_event_files(events, str(tmp_path / "events"))
+    table, ledger, metrics, registry, ckpt = _mk(tmp_path, "eng")
+    table.overwrite(spark, spark.createDataFrame(base))
+    stats = stream_replay(
+        spark, events_dir, table, ledger, metrics, registry, ckpt,
+        cfg=ReplayConfig(stream_compact_delta_files=4),
+        max_files_per_trigger=1,
+    )
+    assert stats["batches"] >= 2
+    # compaction ran at least once: backlog can't exceed threshold + one
+    # batch's worth of buckets (16 here)
+    assert table.delta_file_count() <= 4 + table.n_buckets
+    assert_state_equal(table.read(spark).toPandas(), oracle_final_state(base, events))
+
+
+def test_stream_cow_mode(spark, tmp_path, small_fixture):
+    """sink_commit='merge' keeps the read-optimized per-batch COW MERGE."""
+    from hdata_spark.streaming.replay import ReplayConfig
+
+    base, events = small_fixture
+    events_dir = _write_event_files(events, str(tmp_path / "events"))
+    table, ledger, metrics, registry, ckpt = _mk(tmp_path, "eng")
+    table.overwrite(spark, spark.createDataFrame(base))
+    stream_replay(
+        spark, events_dir, table, ledger, metrics, registry, ckpt,
+        cfg=ReplayConfig(sink_commit="merge"),
+    )
+    assert table.delta_file_count() == 0
+    for e in ledger.committed_epochs():
+        assert ledger.read(e)["commit_kind"] == "merge"
+    assert_state_equal(table.read(spark).toPandas(), oracle_final_state(base, events))
+
+
 def test_stream_schema_evolution(spark, tmp_path):
     """Schema-change events through the STREAM path: final schema + values
     match the batch replayer on the same log."""
