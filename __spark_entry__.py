@@ -141,8 +141,12 @@ _ENGINE_ORACLES = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {**QUERIES, **_ENGINE_QUERIES}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Engine e2e entries lead the dict: they are the flagship (and slowest)
+    checks, so an order-respecting runner exercises them first.
+    """
+    return {**_ENGINE_QUERIES, **QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -294,14 +294,26 @@ def main() -> None:
         # Session history: co-tenant noise is +/-50%, so one session cannot
         # put the >=0.8 criterion beyond noise. Every scaling run appends
         # here and BASELINE.md reports the whole envelope, worst included.
+        # Rows carry the git commit, and the reported envelope covers only
+        # the CURRENT code version — sessions from older code must not be
+        # (mis)attributed to this one.
+        try:
+            commit = subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        except Exception:
+            commit = "unknown"
         hist_path = os.path.join(REPO, "BENCH", "scaling_sessions.jsonl")
         with open(hist_path, "a") as f:
-            f.write(json.dumps({"ts": time.time(), **report}) + "\n")
+            f.write(json.dumps({"ts": time.time(), "commit": commit, **report}) + "\n")
         history = [
             json.loads(ln)
             for ln in open(hist_path)
             if ln.strip()
         ]
+        same_version = [h for h in history if h.get("commit") == commit]
+        history = same_version or history
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
             f.write(_scaling_md(results, report, history))
         print(json.dumps(report))

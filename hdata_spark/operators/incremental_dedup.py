@@ -1,0 +1,178 @@
+"""Incremental near-duplicate detection: a persistent MinHash band index.
+
+The 100-TB ingest shape: a training-data pipeline ingests document batches
+continuously, and deduplication must NOT re-signature the whole corpus per
+batch (minhash_lsh_candidates recomputes everything it is given). The index
+persists each document's LSH band rows in a SnapshotTable, so:
+
+- ``ingest(batch)`` runs the signature pipeline over the NEW batch only
+  (shingle -> n_perms md5 folds -> band hashes: cost proportional to the
+  batch, not the corpus) and MERGEs the band rows in — idempotent by the
+  batch LSN, exactly like the CDC sink, so a crashed/re-run ingest is a
+  no-op;
+- ``candidate_pairs()`` expands the stored buckets group-side (shared tail
+  with the batch operator — text_dedup.band_pairs), giving the identical
+  pair set a from-scratch run over the union of all batches would produce;
+- ``candidates_for_batch(since_lsn)`` is the incremental query: only
+  buckets that gained a doc since `since_lsn` are expanded, and only pairs
+  touching a new doc are returned — per-batch dedup cost tracks the batch's
+  bucket footprint, not corpus size.
+
+Index layout: SnapshotTable keyed by (band_idx, band_sig, doc_id) —
+hash-bucketed uniformly even when one band bucket is huge — with the
+engine's atomic manifest commits, time travel, and compaction for free.
+Contract: document text is immutable per doc_id (the corpus-append shape);
+re-ingesting a doc_id with CHANGED text would leave its old band rows
+behind — delete-then-ingest via SnapshotTable tombstones if ever needed.
+
+Reference basis: HData has no incremental operator family; this extends the
+same band-bucket design as text_dedup.minhash_lsh_candidates (SURVEY §2's
+LLM-pipeline additions) with the engine's own sink for persistence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdata_spark.operators.text_dedup import (
+    LSH_BANDS,
+    MAX_BUCKET_IDS,
+    N_PERMS,
+    band_pairs,
+    lsh_bands,
+    minhash_signatures,
+)
+from hdata_spark.sinks.snapshot import SnapshotTable
+
+_INDEX_SCHEMA = [
+    {"name": "band_idx", "type": "int", "sources": ["band_idx"]},
+    {"name": "band_sig", "type": "string", "sources": ["band_sig"]},
+    {"name": "doc_id", "type": "bigint", "sources": ["doc_id"]},
+]
+
+
+class MinHashIndex:
+    """Persistent (band_idx, band_sig, doc_id) index with batched ingest."""
+
+    def __init__(
+        self,
+        root: str,
+        n_perms: int = N_PERMS,
+        n_bands: int = LSH_BANDS,
+        n_buckets: int = 32,
+    ) -> None:
+        self.root = root
+        params_path = os.path.join(root, "_index_params.json")
+        self.table = SnapshotTable(
+            root, keys=("band_idx", "band_sig", "doc_id"), n_buckets=n_buckets
+        )
+        if os.path.exists(params_path):
+            # Stored banding geometry is authoritative (mixing band rows
+            # from different geometries silently corrupts candidate recall).
+            with open(params_path) as f:
+                stored = json.load(f)
+            self.n_perms = int(stored["n_perms"])
+            self.n_bands = int(stored["n_bands"])
+        else:
+            self.n_perms, self.n_bands = n_perms, n_bands
+            with open(params_path, "w") as f:
+                json.dump({"n_perms": n_perms, "n_bands": n_bands}, f)
+        if self.table.schema_spec() != _INDEX_SCHEMA:
+            self.table.evolve_schema(_INDEX_SCHEMA)
+
+    def ingest(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        batch_lsn: int,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> dict:
+        """Signature + band ONLY `docs` (the new batch) and merge their band
+        rows into the index. Keyed merge on (band_idx, band_sig, doc_id)
+        with the batch LSN: re-running the same batch (crash recovery,
+        at-least-once upstream) is a no-op by stored-LSN comparison."""
+        batch = self._batch_bands(docs, batch_lsn, text_col, id_col)
+        return self.table.merge(spark, batch)
+
+    def _batch_bands(
+        self,
+        docs: DataFrame,
+        batch_lsn: int,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """The frame ingest merges: band rows derived from `docs` ALONE —
+        the plan never touches stored data or other batches (plan-asserted
+        in tests/test_incremental_dedup.py)."""
+        bands = lsh_bands(
+            minhash_signatures(docs, text_col, id_col, n_perms=self.n_perms),
+            id_col, n_perms=self.n_perms, n_bands=self.n_bands,
+        )
+        return bands.select(
+            F.col("band_idx").cast("int"),
+            "band_sig",
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.lit(batch_lsn).cast("long").alias("lsn"),
+            F.lit("insert").alias("op"),
+        )
+
+    def _band_rows(self, spark: SparkSession) -> DataFrame:
+        return self.table.read_internal(spark).filter(F.col("_op") != "d")
+
+    def candidate_pairs(
+        self, spark: SparkSession, max_bucket_ids: int = MAX_BUCKET_IDS
+    ) -> DataFrame:
+        """All candidate pairs in the index — equals a from-scratch
+        minhash_lsh_candidates run over the union of every ingested batch
+        (tested), but reads 3-column band rows instead of re-hashing text."""
+        return band_pairs(
+            self._band_rows(spark).select("band_idx", "band_sig", "doc_id"),
+            id_col="doc_id",
+            max_bucket_ids=max_bucket_ids,
+        )
+
+    def candidates_for_batch(
+        self,
+        spark: SparkSession,
+        since_lsn: int,
+        max_bucket_ids: int = MAX_BUCKET_IDS,
+    ) -> DataFrame:
+        """Pairs that involve at least one doc ingested AFTER `since_lsn`.
+
+        Incremental shape: (1) the new docs' band rows select the affected
+        buckets; (2) a semi join prunes the index to those buckets before
+        the (quadratic-per-bucket) expansion; (3) pairs between two OLD docs
+        are filtered out — they were already reported by an earlier run.
+        Cost tracks the new batch's bucket footprint, not corpus size.
+        """
+        rows = self._band_rows(spark).select(
+            "band_idx", "band_sig", "doc_id", "_lsn"
+        )
+        new_rows = rows.filter(F.col("_lsn") > since_lsn)
+        hot_buckets = new_rows.select("band_idx", "band_sig").distinct()
+        affected = rows.join(
+            hot_buckets, on=["band_idx", "band_sig"], how="left_semi"
+        )
+        pairs = band_pairs(
+            affected.select("band_idx", "band_sig", "doc_id"),
+            id_col="doc_id",
+            max_bucket_ids=max_bucket_ids,
+        )
+        new_ids = new_rows.select("doc_id").distinct()
+        # at least one side new: two semi joins, unioned, de-duplicated by
+        # the pair key (a pair can qualify through both sides)
+        a_new = pairs.join(
+            new_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        )
+        b_new = pairs.join(
+            new_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+        )
+        return a_new.unionByName(b_new).dropDuplicates(["doc_a", "doc_b"])
+
+    def max_ingested_lsn(self, spark: SparkSession) -> int:
+        return self.table.max_stored_lsn(spark)

@@ -64,6 +64,14 @@ def salt_counts(
     }
 
 
+def _hot_key_rows(
+    counts: DataFrame, key: str, threshold: float, mean: float
+) -> DataFrame:
+    """The frame build_salt_map collects: the threshold cut is pushed INTO
+    the query, so only keys above threshold x mean ever reach the driver."""
+    return counts.filter(F.col("count") > F.lit(threshold * mean))
+
+
 def build_salt_map(
     df: DataFrame,
     key: str = "repo",
@@ -71,16 +79,28 @@ def build_salt_map(
     target_rows_per_task: int | None = None,
     max_salts: int = 64,
 ) -> dict[str, int]:
-    """Detect hot keys with one aggregation job over `df`; returns {} when
-    nothing is hot. At 100 TB run this on a sampled or metadata-derived
-    count, or maintain it incrementally in the metrics table — the contract
-    is just a dict (policy in `salt_counts`)."""
-    rows = df.groupBy(key).count().collect()
+    """Detect hot keys; returns {} when nothing is hot. DRIVER-BOUNDED: the
+    key counts stay executor-side (persisted once), the driver fetches one
+    mean row plus the hot rows only — never one row per distinct key, so the
+    helper is safe at 10^8 keys (same discipline as the replay loop's
+    detector, streaming/replay.py _run_metrics). At 100 TB run this on a
+    sampled or metadata-derived count, or maintain it incrementally in the
+    metrics table — the contract is just a dict (policy in `salt_counts`)."""
+    counts = df.groupBy(key).count().persist()
+    try:
+        mean_row = counts.agg(F.avg("count").alias("m")).collect()[0]
+        if mean_row["m"] is None:
+            return {}
+        mean = float(mean_row["m"])
+        rows = _hot_key_rows(counts, key, threshold, mean).collect()
+    finally:
+        counts.unpersist()
     return salt_counts(
         {r[key]: r["count"] for r in rows},
         threshold=threshold,
         target_rows_per_task=target_rows_per_task,
         max_salts=max_salts,
+        mean=mean,
     )
 
 

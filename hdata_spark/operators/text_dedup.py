@@ -27,7 +27,19 @@ from pyspark.sql import functions as F
 
 N_PERMS = 8        # minhash permutations
 LSH_BANDS = 4      # bands of N_PERMS // LSH_BANDS rows each
-SIMHASH_BITS = 32  # simhash width (8 md5 hex chars)
+# Corpus-scale simhash geometry (round-3 default; was 32 bits / 4 byte-chunks):
+# 64-bit hash split into 4 chunks of 16 bits. Chunk width sets bucket
+# sparsity (2^16 = 65536 buckets per chunk arm instead of 256 — per-bucket
+# quadratic expansion shrinks by 256x at the same corpus size); chunk COUNT
+# sets the exact-recall radius (complete for hamming <= n_chunks - 1 = 3,
+# the default radius). The legacy 32/4 geometry remains available by
+# parameter and is oracle-tested alongside.
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4
+#: Default per-bucket cap: a bucket keeps its first N docs by id, bounding
+#: the quadratic expansion on pathological buckets (identical boilerplate
+#: docs). None = uncapped exact contract.
+SIMHASH_MAX_BUCKET_IDS = 1000
 
 
 def tokens_col(text: Column) -> Column:
@@ -176,6 +188,21 @@ def minhash_lsh_candidates(
         minhash_signatures(df, text_col, id_col, n_perms=n_perms),
         id_col, n_perms=n_perms, n_bands=n_bands,
     )
+    return band_pairs(bands, id_col=id_col, max_bucket_ids=max_bucket_ids)
+
+
+def band_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_ids: int = MAX_BUCKET_IDS,
+) -> DataFrame:
+    """Group-side pair expansion over a (id, band_idx, band_sig) frame —
+    the shared tail of minhash_lsh_candidates and the incremental index.
+
+    One shuffle keyed on the bucket; each bucket's sorted id list (capped at
+    max_bucket_ids) expands to pairs inside the reduce task. Returns
+    (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
+    """
     # Stage break before the bucket aggregation: collect_list is an
     # ObjectHashAggregate, which cannot whole-stage-codegen — WITHOUT this
     # exchange the ENTIRE upstream signature pipeline (shingles, 8x md5)
@@ -215,46 +242,80 @@ def minhash_lsh_candidates(
 _HEX = "0123456789abcdef"
 
 
+def _bit_term_spark(b: int) -> str:
+    # shiftleft is a pure bitwise op in Spark (no ANSI overflow check), so
+    # bit 63 lands on the sign bit as plain two's complement.
+    return f"(CASE WHEN s{b} > 0 THEN shiftleft(1L, {b}) ELSE 0L END)"
+
+
+def _bit_term_sql(b: int) -> str:
+    # DuckDB's << overflows at bit 63; spell min-long arithmetically.
+    if b == 63:
+        return f"(CASE WHEN s{b} > 0 THEN (-9223372036854775807 - 1)::BIGINT ELSE 0 END)"
+    return f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+
+
 def simhash_df(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """32-bit SimHash per doc from token md5s (explode -> 32 signed sums).
+    """n_bits-wide SimHash per doc from token md5s (explode -> signed sums).
 
     Bit b of the hash is 1 iff the sum over tokens of (+1 if bit b of
     md5(token) set else -1) is positive. The whole computation is one
     explode + one hash aggregate (map-side combinable) — linear shuffle.
+    n_bits <= 64 (bit 63 occupies the BIGINT sign bit; XOR/bit_count are
+    bitwise, so Hamming math is unaffected).
+
+    .. versionchanged:: round 3 — default width 32 -> 64 (corpus-scale
+       geometry; see SIMHASH_BITS).
     """
+    if not 1 <= n_bits <= 64 or n_bits % 4:
+        raise ValueError(f"n_bits must be a multiple of 4 in [4, 64]: {n_bits}")
     tok = df.select(
         id_col, F.explode(tokens_col(F.col(text_col))).alias("tk")
     )
-    h = tok.select(id_col, F.substring(F.md5("tk"), 1, 8).alias("h"))
+    h = tok.select(id_col, F.substring(F.md5("tk"), 1, n_bits // 4).alias("h"))
     sums = [
         F.expr(
             f"sum(CASE WHEN ((instr('{_HEX}', substr(h,{b // 4 + 1},1))-1)"
             f" div {2 ** (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END)"
         ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
+        for b in range(n_bits)
     ]
     agg = h.groupBy(id_col).agg(*sums)
-    recon = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {2 ** b}L ELSE 0L END)"
-        for b in range(SIMHASH_BITS)
-    )
+    recon = " + ".join(_bit_term_spark(b) for b in range(n_bits))
     return agg.select(id_col, F.expr(f"CAST({recon} AS BIGINT)").alias("simhash"))
 
 
-def simhash_sql_exprs() -> tuple[str, str]:
+def simhash_sql_exprs(n_bits: int = SIMHASH_BITS) -> tuple[str, str]:
     """(select-list, reconstruction) SQL fragments shared with the oracle."""
     sel = ", ".join(
         f"sum(CASE WHEN ((strpos('{_HEX}', substr(h,{b // 4 + 1},1))-1)"
         f" // {2 ** (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(SIMHASH_BITS)
+        for b in range(n_bits)
     )
-    recon = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)"
-        for b in range(SIMHASH_BITS)
-    )
+    recon = " + ".join(_bit_term_sql(b) for b in range(n_bits))
     return sel, recon
+
+
+def simhash_chunk_sql_exprs(
+    n_bits: int = SIMHASH_BITS, n_chunks: int = SIMHASH_CHUNKS
+) -> list[str]:
+    """Per-chunk value fragments for the oracle, built from the bit sums
+    (never extracted from the packed hash — chunk 3 of a 64-bit hash spans
+    the sign bit, where signed // and % diverge between engines). Each value
+    is a plain non-negative INT < 2^(n_bits/n_chunks)."""
+    w = n_bits // n_chunks
+    return [
+        " + ".join(
+            f"(CASE WHEN s{c * w + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(w)
+        )
+        for c in range(n_chunks)
+    ]
 
 
 def simhash_near_pairs(
@@ -262,17 +323,28 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_ids: int | None = None,
+    max_bucket_ids: int | None = SIMHASH_MAX_BUCKET_IDS,
+    n_bits: int = SIMHASH_BITS,
+    n_chunks: int = SIMHASH_CHUNKS,
 ) -> DataFrame:
     """Pairs with simhash Hamming distance <= max_hamming.
 
-    Candidate generation: split the 32-bit hash into 4 byte-chunks and bucket
-    on chunk equality. By pigeonhole this is RECALL-COMPLETE only for
-    distance <= chunks-1 = 3 (the default); a wider radius (e.g. the oracle
-    query's 6) keeps all chunk-collision candidates and filters exactly, so
-    it is exact for <= 3 and high-recall-but-incomplete above — pairs at
-    distance 4..max_hamming that differ in every chunk are missed. Callers
-    that widen the radius accept that recall loss explicitly.
+    Candidate generation: split the n_bits hash into n_chunks equal chunks
+    and bucket on chunk equality. By pigeonhole this is RECALL-COMPLETE only
+    for distance <= n_chunks-1 (= 3 at the defaults); a wider radius (e.g.
+    the oracle query's 6) keeps all chunk-collision candidates and filters
+    exactly, so it is exact for <= n_chunks-1 and high-recall-but-incomplete
+    above — pairs at distance n_chunks..max_hamming that differ in every
+    chunk are missed. Callers that widen the radius accept that recall loss
+    explicitly.
+
+    Geometry (round 3; was 32 bits / 4 byte-chunks, uncapped): the default
+    64/4 gives 16-bit chunks — 65536 buckets per chunk arm, so per-bucket
+    density (and the quadratic expansion inside each bucket) drops 256x at
+    the same corpus size — and ``max_bucket_ids`` now DEFAULTS to a cap
+    (first N docs by id per bucket, the minhash-style bound), so a
+    boilerplate-heavy corpus cannot detonate a single bucket. Pass
+    ``max_bucket_ids=None`` for the uncapped exact-collision contract.
 
     Plan shape: the signature pipeline runs exactly ONCE — `simhash_df`'s
     output (a SLIM (id, simhash) frame, 16 B/row) is materialized via
@@ -280,19 +352,22 @@ def simhash_near_pairs(
     shuffled-hash SELF-join of that materialization. Measured against the
     alternatives at sf0.1: recompute-per-side self-join 2.7 s (Catalyst
     gives no ReusedExchange across alias subtrees), group-side pair
-    expansion a la minhash 3.5 s (simhash byte-chunk buckets are DENSE —
-    n/1024 docs each — and array-HOF pair expansion runs interpreted),
-    materialized self-join 1.7 s. At production scale, stage the signature
-    frame to the lake instead of executor blocks (the replay staging
-    pattern); the join shape is unchanged.
+    expansion a la minhash 3.5 s (dense byte-chunk buckets + interpreted
+    array-HOF pair expansion), materialized self-join 1.7 s. At production
+    scale, stage the signature frame to the lake instead of executor blocks
+    (the replay staging pattern); the join shape is unchanged.
 
-    ``max_bucket_ids`` (optional) caps a bucket at its first N docs by id,
-    bounding the per-bucket quadratic expansion the way minhash's cap does.
-    Default None preserves the exact all-collisions contract (and oracle
-    parity); at corpus scale set it — and widen SIMHASH_BITS / chunk count —
-    since byte-chunks give only 4x256 buckets.
+    .. versionchanged:: round 2 — default max_hamming 6 -> 3 (the largest
+       recall-complete radius at 4 chunks).
+    .. versionchanged:: round 3 — default geometry 32/4 -> 64/4 with a
+       default per-bucket cap of SIMHASH_MAX_BUCKET_IDS.
     """
-    sh = simhash_df(df, text_col, id_col).localCheckpoint(eager=False)
+    if n_bits % n_chunks:
+        raise ValueError(f"n_chunks {n_chunks} must divide n_bits {n_bits}")
+    w = n_bits // n_chunks
+    sh = simhash_df(df, text_col, id_col, n_bits=n_bits).localCheckpoint(
+        eager=False
+    )
     chunks = sh.select(
         id_col,
         "simhash",
@@ -301,11 +376,15 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.expr(f"(simhash div {2 ** (8 * c)}) % 256").alias(
-                            "chunk_val"
-                        ),
+                        # unsigned shift + pmod: chunk n_chunks-1 of a
+                        # 64-bit hash spans the SIGN bit, where signed
+                        # div/% go wrong
+                        F.pmod(
+                            F.shiftrightunsigned(F.col("simhash"), w * c),
+                            F.lit(1 << w),
+                        ).alias("chunk_val"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),

@@ -948,35 +948,35 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "setop_engaged_users",
+    "setop_user_segments",
     """
-    SELECT user_id FROM events WHERE event_type = 'click'
-    INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT 'engaged' AS segment, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'window_shopper' AS segment, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'view'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
     """,
 )
-def setop_engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT: users who both clicked and purchased."""
+def setop_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both set operations in one tagged frame: INTERSECT (users who clicked
+    AND purchased -> 'engaged') and set EXCEPT, not bag exceptAll (viewed but
+    never purchased -> 'window_shopper'). One entry covering SURVEY §2.8's
+    INTERSECT and EXCEPT rows."""
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
-    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return clicks.intersect(buys)
-
-
-@query(
-    "setop_window_shoppers",
-    """
-    SELECT user_id FROM events WHERE event_type = 'view'
-    EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-    """,
-)
-def setop_window_shoppers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: users who viewed but never purchased."""
-    ev = load(spark, sf_dir, "events")
     views = ev.filter(F.col("event_type") == "view").select("user_id")
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return views.subtract(buys)  # set EXCEPT (not bag exceptAll)
+    engaged = clicks.intersect(buys).select(
+        F.lit("engaged").alias("segment"), "user_id"
+    )
+    shoppers = views.subtract(buys).select(
+        F.lit("window_shopper").alias("segment"), "user_id"
+    )
+    return engaged.unionByName(shoppers)
 
 
 # =====================================================================
@@ -1000,37 +1000,29 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_fingerprint",
-    """
-    SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
-    FROM documents
-    """,
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized content fingerprint (whitespace-collapsed, case-folded md5)."""
-    d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias(
-            "fingerprint"
-        ),
-    )
+def _token_stats_oracle() -> str:
+    from hdata_spark.functions.text import BPE_SPLIT_PATTERN
 
-
-@query(
-    "doc_token_stats",
-    """
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"""
     SELECT doc_id,
            len(string_split_regex(trim(text), ' +')) AS n_tokens,
            length(text) AS n_chars_actual,
-           length(replace(text, ' ', '')) AS n_nonspace_chars
+           length(replace(text, ' ', '')) AS n_nonspace_chars,
+           CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+               AS n_bpe_tokens
     FROM documents
-    """,
-)
+    """
+
+
+@query("doc_token_stats", _token_stats_oracle())
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting + char stats (tokenizer-cost estimator)."""
+    """Token counting + char stats in one pass (tokenizer-cost estimator):
+    whitespace tokens AND the BPE-ish count from the GPT-2-style
+    pre-tokenizer split pattern, shared verbatim with the DuckDB oracle
+    (lookahead-free, so Java regex and RE2 agree)."""
+    from hdata_spark.functions.text import bpe_token_count
+
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1039,37 +1031,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias(
             "n_nonspace_chars"
         ),
-    )
-
-
-def _bpe_count_oracle() -> str:
-    from hdata_spark.functions.text import BPE_SPLIT_PATTERN
-
-    pat = BPE_SPLIT_PATTERN.replace("'", "''")
-    return f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
-               AS n_bpe_tokens,
-           CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
-               AS n_ws_tokens
-    FROM documents
-    """
-
-
-@query("doc_bpe_token_count", _bpe_count_oracle())
-def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token counting next to the whitespace count: the GPT-2-style
-    pre-tokenizer split pattern, shared verbatim with the DuckDB oracle
-    (lookahead-free, so Java regex and RE2 agree)."""
-    from hdata_spark.functions.text import bpe_token_count
-
-    d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
-        F.size(F.split(F.trim(F.col("text")), " +"))
-        .cast("long")
-        .alias("n_ws_tokens"),
     )
 
 
@@ -1186,46 +1148,117 @@ def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(load(spark, sf_dir, "documents"))
 
 
-def _simhash_oracle() -> str:
-    from hdata_spark.operators.text_dedup import simhash_sql_exprs
+@query("doc_dedup_incremental", minhash_lsh_oracle_sql())
+def doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup (the 100-TB ingest shape): documents ingested as
+    two batches into a persistent MinHash band index (SnapshotTable-backed,
+    idempotent by batch LSN; operators/incremental_dedup.py) — each ingest
+    signatures ONLY its own batch — then the stored band rows expand to the
+    IDENTICAL candidate pair set a from-scratch run produces (same oracle as
+    doc_dedup_minhash_lsh)."""
+    import os
 
-    sel, recon = simhash_sql_exprs()
+    from hdata_spark.operators.incremental_dedup import MinHashIndex
+
+    d, staged = _staging_dir("mhidx", sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    os.makedirs(d, exist_ok=True)
+    idx = MinHashIndex(os.path.join(d, "index"))
+    if not staged:
+        idx.ingest(spark, docs.filter(F.col("doc_id") % 2 == 0), batch_lsn=1)
+        idx.ingest(spark, docs.filter(F.col("doc_id") % 2 == 1), batch_lsn=2)
+        _mark_staged(d)
+    return idx.candidate_pairs(spark)
+
+
+def _simhash_oracle(n_bits: int | None = None) -> str:
+    from hdata_spark.operators.text_dedup import SIMHASH_BITS, simhash_sql_exprs
+
+    n_bits = SIMHASH_BITS if n_bits is None else n_bits
+    sel, recon = simhash_sql_exprs(n_bits)
     return f"""
     WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tk
                  FROM documents),
-    h AS (SELECT doc_id, substr(md5(tk), 1, 8) AS h FROM tok),
+    h AS (SELECT doc_id, substr(md5(tk), 1, {n_bits // 4}) AS h FROM tok),
     agg AS (SELECT doc_id, {sel} FROM h GROUP BY doc_id)
     SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM agg
     """
 
 
+def simhash_pairs_oracle_sql(
+    max_hamming: int,
+    n_bits: int | None = None,
+    n_chunks: int | None = None,
+    max_bucket_ids: int | None = -1,
+) -> str:
+    """DuckDB oracle for simhash_near_pairs, GENERATED from the same
+    geometry parameters the operator takes (bits, chunks, bucket cap) —
+    chunk values rebuilt from the bit sums, never extracted from the packed
+    hash (chunk n_chunks-1 spans the sign bit). ``max_bucket_ids=-1`` means
+    'use the operator default'."""
+    from hdata_spark.operators.text_dedup import (
+        SIMHASH_BITS,
+        SIMHASH_CHUNKS,
+        SIMHASH_MAX_BUCKET_IDS,
+        simhash_chunk_sql_exprs,
+        simhash_sql_exprs,
+    )
+
+    n_bits = SIMHASH_BITS if n_bits is None else n_bits
+    n_chunks = SIMHASH_CHUNKS if n_chunks is None else n_chunks
+    if max_bucket_ids == -1:
+        max_bucket_ids = SIMHASH_MAX_BUCKET_IDS
+    sel, recon = simhash_sql_exprs(n_bits)
+    chunk_vals = simhash_chunk_sql_exprs(n_bits, n_chunks)
+    chunk_rows = "\n        UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_idx, {cv} AS chunk_val FROM sig"
+        if c == 0
+        else f"SELECT doc_id, simhash, {c}, {cv} FROM sig"
+        for c, cv in enumerate(chunk_vals)
+    )
+    cap_cte = (
+        f""",
+    capped AS (
+        SELECT doc_id, simhash, chunk_idx, chunk_val FROM (
+            SELECT *, row_number() OVER (PARTITION BY chunk_idx, chunk_val
+                                         ORDER BY doc_id) AS rn
+            FROM chunks)
+        WHERE rn <= {max_bucket_ids})"""
+        if max_bucket_ids is not None
+        else ""
+    )
+    src = "capped" if max_bucket_ids is not None else "chunks"
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tk
+                 FROM documents),
+    h AS (SELECT doc_id, substr(md5(tk), 1, {n_bits // 4}) AS h FROM tok),
+    agg AS (SELECT doc_id, {sel} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({recon} AS BIGINT) AS simhash, * EXCLUDE (doc_id)
+            FROM agg),
+    chunks AS (
+        {chunk_rows}){cap_cte}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM {src} a JOIN {src} b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 @query("doc_simhash", _simhash_oracle())
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (explode + one map-side-combinable agg)."""
+    """64-bit SimHash per document (explode + one map-side-combinable agg)."""
     from hdata_spark.operators.text_dedup import simhash_df
 
     return simhash_df(load(spark, sf_dir, "documents"))
 
 
-@query(
-    "doc_dedup_simhash_pairs",
-    f"""
-    WITH sig AS ({_simhash_oracle()}),
-    chunks AS (
-        SELECT doc_id, simhash, 0 AS chunk_idx, simhash % 256 AS chunk_val FROM sig
-        UNION ALL SELECT doc_id, simhash, 1, (simhash // 256) % 256 FROM sig
-        UNION ALL SELECT doc_id, simhash, 2, (simhash // 65536) % 256 FROM sig
-        UNION ALL SELECT doc_id, simhash, 3, (simhash // 16777216) % 256 FROM sig)
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM chunks a JOIN chunks b
-      ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
-         AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-    """,
-)
+@query("doc_dedup_simhash_pairs", simhash_pairs_oracle_sql(max_hamming=6))
 def doc_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: byte-chunk bucket join + exact Hamming filter."""
+    """SimHash near-dup pairs at the corpus-scale default geometry (64-bit
+    hash, 4x16-bit chunk buckets, capped buckets) — chunk-bucket join +
+    exact Hamming filter; oracle generated from the same parameters."""
     from hdata_spark.operators.text_dedup import simhash_near_pairs
 
     return simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=6)
@@ -1370,43 +1403,63 @@ def _langid_oracle() -> str:
     """
 
 
-@query("doc_lang_id", _langid_oracle())
-def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: function-word hit counts + deterministic argmax."""
-    from hdata_spark.operators.text_dedup import lang_id_scores
-
-    return lang_id_scores(load(spark, sf_dir, "documents"))
-
-
-def _langid_ngram_oracle() -> str:
+def _langid_combined_oracle() -> str:
     from hdata_spark.operators.text_dedup import lang_id_ngram_oracle_sql
 
-    return lang_id_ngram_oracle_sql()
+    return f"""
+    WITH lex AS ({_langid_oracle()}),
+    ng AS ({lang_id_ngram_oracle_sql()})
+    SELECT lex.doc_id, lex.s_en, lex.s_de, lex.s_es, lex.s_fr,
+           lex.lang_pred, ng.lang_pred AS lang_pred_ngram
+    FROM lex JOIN ng ON lex.doc_id = ng.doc_id
+    """
 
 
-@query("doc_lang_id_ngram", _langid_ngram_oracle())
-def doc_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-trigram language ID (the n-gram heuristic twin of
-    doc_lang_id's function-word lexicon): per-language occurrence counts of
-    fixed frequent-trigram profiles, zero shuffle / zero explode — pure
-    codegen'd replace/length arithmetic, identical in the DuckDB oracle."""
-    from hdata_spark.operators.text_dedup import lang_id_ngram_scores
+@query("doc_lang_id", _langid_combined_oracle())
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both language-ID heuristics in one frame: function-word lexicon hit
+    counts + deterministic argmax (`lang_pred`, with the per-language
+    scores), and the character-trigram profile's prediction
+    (`lang_pred_ngram` — zero shuffle / zero explode, pure codegen'd
+    replace/length arithmetic; trigrams see through missing stopwords in
+    code-mixed or truncated docs). Covers both SURVEY text-analysis rows."""
+    from hdata_spark.operators.text_dedup import (
+        lang_id_ngram_scores,
+        lang_id_scores,
+    )
 
-    return lang_id_ngram_scores(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
+    lex = lang_id_scores(d)
+    ng = lang_id_ngram_scores(d).select(
+        "doc_id", F.col("lang_pred").alias("lang_pred_ngram")
+    )
+    return lex.join(ng, "doc_id")
 
 
 @query(
-    "doc_sha256",
-    "SELECT doc_id, sha256(text) AS sha FROM documents",
+    "doc_content_hashes",
+    """
+    SELECT doc_id, sha256(text) AS sha,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
 )
-def doc_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content sha256 via the Arrow-vectorized pandas_udf (north-star UDF),
-    value-checked against DuckDB's native sha256 — proves the vectorized
-    Python path is bit-identical to the JVM/native one."""
+def doc_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc content hashes in one pass: sha256 via the Arrow-vectorized
+    pandas_udf (north-star UDF; value-checked against DuckDB's native sha256,
+    proving the vectorized Python path is bit-identical to the JVM/native
+    one) plus the normalized dedup fingerprint (whitespace-collapsed,
+    case-folded md5)."""
     from hdata_spark.functions.text import sha256_pudf
 
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", sha256_pudf(F.col("text")).alias("sha"))
+    return d.select(
+        "doc_id",
+        sha256_pudf(F.col("text")).alias("sha"),
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias(
+            "fingerprint"
+        ),
+    )
 
 
 @query(

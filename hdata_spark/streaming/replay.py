@@ -72,7 +72,14 @@ class ReplayConfig:
     salt_threshold: float = 4.0
     max_salts: int = 32
     use_pandas_udfs: bool = False  # pandas_udf twins instead of built-ins
-    detect_skew: bool = True
+    # Hot-repo detection + per-epoch salt PLAN in the ledger. The plan is
+    # ADVISORY: no engine stage shuffles by bare repo (LWW and MERGE key on
+    # (repo, path)/bucket, uniform under monorepo skew), so the consumer is
+    # downstream repo-grained work (with_salt + the salted two-stage agg —
+    # operators/partitioning.py). Off by default so the hot loop carries no
+    # work without a consumer; per-BUCKET skew metrics (the north-star
+    # skew signal) are always emitted regardless.
+    detect_skew: bool = False
     # Sink commit mode. "append" (default) = merge-on-read fast-append:
     # per-epoch commits are metadata-only manifest appends of the staged
     # winner files (Iceberg fast-append / Hudi MOR); readers resolve by

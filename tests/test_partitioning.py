@@ -134,7 +134,7 @@ def test_hot_repo_detector_collect_is_bounded(spark):
         (F.col("id") % 16).cast("int").alias("bucket"),
     )
     staged = cold.unionByName(hot)
-    cfg = ReplayConfig(salt_threshold=4.0)
+    cfg = ReplayConfig(salt_threshold=4.0, detect_skew=True)
     by_bucket, hot_by_epoch, mean_by_epoch = _run_metrics(staged, [0], cfg)
     assert len(by_bucket[0]) == 16  # bounded: one row per bucket
     assert set(hot_by_epoch) == {0}
@@ -143,5 +143,31 @@ def test_hot_repo_detector_collect_is_bounded(spark):
     true_mean = (n_cold + 2 * hot_n) / (n_cold + 2)
     assert abs(mean_by_epoch[0] - true_mean) < 1e-6
     salt_map = _salt_map_from(hot_by_epoch[0], mean_by_epoch[0], cfg)
+    assert set(salt_map) == {"org/hot0", "org/hot1"}
+    assert all(n >= 2 for n in salt_map.values())
+
+
+def test_build_salt_map_collect_is_bounded(spark):
+    """The library helper gets the same driver-bound as the replay detector
+    (round-3 fix): with 100k distinct keys and 2 hot ones, the frame the
+    driver collects carries ONLY the hot rows — the threshold cut is pushed
+    into the query — and the result matches the policy on the true mean."""
+    from pyspark.sql import functions as F
+
+    from hdata_spark.operators.partitioning import _hot_key_rows
+
+    n_cold, hot_n = 100_000, 5_000
+    cold = spark.range(n_cold).select(
+        F.concat(F.lit("org/cold"), F.col("id")).alias("repo")
+    )
+    hot = spark.range(2 * hot_n).select(
+        F.concat(F.lit("org/hot"), (F.col("id") % 2)).alias("repo")
+    )
+    df = cold.unionByName(hot)
+    counts = df.groupBy("repo").count()
+    true_mean = (n_cold + 2 * hot_n) / (n_cold + 2)
+    # the collected frame is pre-filtered to hot rows only
+    assert _hot_key_rows(counts, "repo", 4.0, true_mean).count() == 2
+    salt_map = build_salt_map(df, "repo", threshold=4.0)
     assert set(salt_map) == {"org/hot0", "org/hot1"}
     assert all(n >= 2 for n in salt_map.values())

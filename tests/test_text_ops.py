@@ -82,7 +82,42 @@ def test_simhash_deterministic_and_bounded(spark):
     rows = simhash_df(d).collect()
     vals = {r["doc_id"]: r["simhash"] for r in rows}
     assert vals[1] == vals[2]
-    assert 0 <= vals[1] < 2**32
+    assert -(2**63) <= vals[1] < 2**63  # 64-bit default; bit 63 = sign bit
+    narrow = {r["doc_id"]: r["simhash"] for r in simhash_df(d, n_bits=32).collect()}
+    assert 0 <= narrow[1] < 2**32  # legacy geometry still available
+
+
+def test_simhash_geometries_agree_on_identical_docs(spark):
+    """Both tested geometries (32/4 legacy, 64/8) find identical docs at
+    hamming 0 and nothing across unrelated docs; the per-bucket cap bounds
+    expansion without losing the identical pair."""
+    d = _docs(
+        spark,
+        [(1, "spark engine test data"), (2, "spark engine test data"),
+         (3, "completely unrelated content words")],
+    )
+    for n_bits, n_chunks in ((32, 4), (64, 8)):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_pairs(
+                d, max_hamming=0, n_bits=n_bits, n_chunks=n_chunks,
+                max_bucket_ids=2,
+            ).collect()
+        }
+        assert pairs.get((1, 2)) == 0, (n_bits, n_chunks)
+        assert (1, 3) not in pairs
+
+
+def test_simhash_bucket_cap_bounds_pairs(spark):
+    """max_bucket_ids keeps only the first N ids per bucket: with N=2, a
+    bucket of 4 identical docs yields exactly the (first, second) pair."""
+    d = _docs(spark, [(i, "same exact text here") for i in range(1, 5)])
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in simhash_near_pairs(d, max_hamming=0, max_bucket_ids=2).collect()}
+    assert pairs == {(1, 2)}
+    uncapped = {(r["doc_a"], r["doc_b"])
+                for r in simhash_near_pairs(d, max_hamming=0, max_bucket_ids=None).collect()}
+    assert uncapped == {(a, b) for a in range(1, 5) for b in range(a + 1, 5)}
 
 
 def test_simhash_identical_pairs_have_zero_hamming(spark):
