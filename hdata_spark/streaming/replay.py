@@ -301,6 +301,15 @@ def _apply_run(
     batch = events.filter(F.col("epoch").between(lo, hi))
     if has_schema_changes:
         _apply_schema_changes(batch, table, registry)
+    elif table.schema_spec() != registry.spec:
+        # Registry ahead of the manifest with no schema events in the run:
+        # the registry was primed out-of-band (declared columns before
+        # replay — the reference's OutputFieldsDeclarer shape,
+        # hdata-api/.../api/OutputFieldsDeclarer.java) or a crash landed
+        # between registry persist and table evolve in a previous process.
+        # The drift check is a local manifest read (no Spark job) and
+        # evolve_schema is idempotent, so catching up here is free.
+        table.evolve_schema(registry.spec)
 
     data = batch.filter(F.col("op") != "schema_change").drop(
         "sc_kind", "sc_column", "sc_arg"

@@ -214,6 +214,31 @@ def test_resume_after_registry_persist_without_table_evolve(
     )
 
 
+def test_primed_registry_catches_up_without_schema_events(spark, tmp_path):
+    """Registry primed OUT-OF-BAND (columns declared before replay — the
+    reference's OutputFieldsDeclarer shape) with ZERO schema_change events
+    in the stream: the run-level drift check must still evolve the table
+    manifest, or the declared column silently vanishes from merges/reads."""
+    cfg = CDCFixtureConfig(
+        seed=47, n_repos=8, paths_per_repo=12, hot_repos=0,
+        n_events=800, epoch_size=400, base_rows=60,
+    )
+    base, events = generate_base(cfg), generate_events(cfg)
+    assert not (events["op"] == "schema_change").any()
+    table, ledger, metrics, registry = _engine(tmp_path)
+    table.overwrite(spark, spark.createDataFrame(base))
+    registry.apply_change("add", "stars", "int", at_lsn=0)
+    assert table.schema_spec() != registry.spec
+    replay(spark, spark.createDataFrame(events), table, ledger, metrics, registry)
+    assert table.schema_spec() == registry.spec
+    out = table.read(spark).toPandas()
+    assert "stars" in out.columns
+    assert_state_equal(
+        out.drop(columns=["stars", "content_sha256"]),
+        oracle_final_state(base, events),
+    )
+
+
 def test_evolve_schema_reapply_is_noop(spark, tmp_path):
     """Re-driving an already-current spec must not churn versions/gens."""
     table = SnapshotTable(str(tmp_path / "t"), n_buckets=4)
