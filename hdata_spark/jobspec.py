@@ -114,23 +114,33 @@ def _expand_paths(path: str) -> list[str]:
     only ever match ONE character from the set, which cannot match the
     multi-digit shard names it visibly spells — glob intent is impossible,
     so falling through (the pre-round-3 behavior) silently read nothing.
+    "Multi-digit" means EITHER endpoint spells more than one digit
+    (`[0-31]` expands to two-digit shards just like `[000-031]` does).
     Single-digit remote ranges keep glob passthrough (both readings are
     plausible; Hadoop's glob matcher resolves them server-side).
+
+    Decisions are PER PIECE: `local_[001-003],s3a://b/part_[000-031]`
+    expands each piece by its own filesystem's rules — one piece's remote
+    scheme must not force expansion of another piece's local glob.
     """
-    pieces = [p.strip() for p in str(path).split(",") if p.strip()]
-    expanded = expand_shards(path)
-    if expanded == sorted(set(pieces)):
-        return pieces
-    if all(os.path.exists(p) for p in expanded):
-        return expanded
-    if any(_URI_SCHEME_RE.match(p) and not p.startswith("file://") for p in pieces):
-        multi_digit = any(
-            (m := _SHARD_PIECE_RE.match(p)) and len(m.group(2)) > 1
-            for p in pieces
-        )
-        if multi_digit:
-            return expanded
-    return pieces
+    out: list[str] = []
+    for piece in (p.strip() for p in str(path).split(",")):
+        if not piece:
+            continue
+        exp = expand_shards(piece)
+        if exp == [piece]:
+            out.append(piece)
+            continue
+        if all(os.path.exists(p) for p in exp):
+            out.extend(exp)
+            continue
+        remote = _URI_SCHEME_RE.match(piece) and not piece.startswith("file://")
+        m = _SHARD_PIECE_RE.match(piece)
+        if remote and m and (len(m.group(2)) > 1 or len(m.group(3)) > 1):
+            out.extend(exp)
+        else:
+            out.append(piece)
+    return out
 
 
 _NUMERIC_TYPES = ("integer", "long", "short", "byte", "float", "double", "decimal")

@@ -70,7 +70,7 @@ class MinHashIndex:
         self.table = SnapshotTable(
             root, keys=("band_idx", "band_sig", "doc_id"), n_buckets=n_buckets
         )
-        if os.path.exists(params_path):
+        if os.path.exists(params_path) and os.path.getsize(params_path) > 0:
             # Stored banding geometry is authoritative (mixing band rows
             # from different geometries silently corrupts candidate recall).
             with open(params_path) as f:
@@ -78,9 +78,14 @@ class MinHashIndex:
             self.n_perms = int(stored["n_perms"])
             self.n_bands = int(stored["n_bands"])
         else:
+            # write-tmp-then-rename: a crash mid-write must never leave a
+            # truncated params file that bricks every future open (the same
+            # atomicity discipline as the manifest pointer swap).
             self.n_perms, self.n_bands = n_perms, n_bands
-            with open(params_path, "w") as f:
+            tmp = params_path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump({"n_perms": n_perms, "n_bands": n_bands}, f)
+            os.replace(tmp, params_path)
         if self.table.schema_spec() != _INDEX_SCHEMA:
             self.table.evolve_schema(_INDEX_SCHEMA)
 

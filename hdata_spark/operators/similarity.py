@@ -112,14 +112,19 @@ def _mean_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
     result folds back to arrays with an interpreted HOF — fine on n_cells
     rows. A cell that attracted no vectors disappears (standard Lloyd's).
     """
+    # Non-finite components (NaN / ±Inf from dirty embeddings) contribute 0
+    # to the mean instead of aborting the ANSI cast to BIGINT — the same
+    # dirty-corpus-must-not-kill-the-job contract as `cosine`'s try_divide.
+    # The between() bound also keeps the fixed-point product far from BIGINT
+    # overflow (1e10 * 1e7 = 1e17 < 2^63).
+    val = F.col("val").cast("double")
+    finite = F.when(val.between(-1e10, 1e10), val).otherwise(F.lit(0.0))
     coords = (
         assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "val"))
         .select(
             "cell",
             "pos",
-            F.round(F.col("val").cast("double") * F.lit(float(MEAN_UNIT)))
-            .cast("long")
-            .alias("u"),
+            F.round(finite * F.lit(float(MEAN_UNIT))).cast("long").alias("u"),
         )
         .groupBy("cell", "pos")
         .agg(F.sum("u").alias("su"), F.count("*").alias("n"))

@@ -42,6 +42,36 @@ def _canon(t: str) -> str:
     return _CANON.get(t.lower(), t.lower())
 
 
+def spec_evolves(old_spec: list[dict], new_spec: list[dict]) -> bool:
+    """True iff `new_spec` is reachable from `old_spec` through the legal
+    evolution moves (add / rename / widen) — i.e. every old column is still
+    present in the new spec (by current name, or as an older physical name
+    in some entry's `sources` after a rename) with an identical or legally
+    widened type.
+
+    Used to make the registry-vs-table drift catch-up DIRECTION-SAFE: a
+    registry BEHIND the table (fresh/lost state file paired with an evolved
+    table) must never regress the manifest — evolve_schema itself accepts
+    any spec, so callers gate on this predicate and fail loudly instead.
+    """
+    for old_col in old_spec:
+        entry = next(
+            (
+                c
+                for c in new_spec
+                if c["name"] == old_col["name"]
+                or old_col["name"] in c.get("sources", [])
+            ),
+            None,
+        )
+        if entry is None:
+            return False
+        ot, nt = _canon(old_col["type"]), _canon(entry["type"])
+        if ot != nt and (ot, nt) not in _WIDEN_OK:
+            return False
+    return True
+
+
 class SchemaRegistry:
     """Versioned logical schema; entries mirror SnapshotTable's manifest spec."""
 

@@ -1159,8 +1159,13 @@ def doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from hdata_spark.operators.incremental_dedup import MinHashIndex
+    from hdata_spark.operators.text_dedup import LSH_BANDS, N_PERMS
 
-    d, staged = _staging_dir("mhidx", sf_dir)
+    # The banding geometry is part of the cache key: a stored index's
+    # _index_params.json wins on reopen (by design), so a geometry-constant
+    # change must land in a FRESH staging dir or the query would keep
+    # serving old-geometry candidates against a new-geometry oracle.
+    d, staged = _staging_dir(f"mhidx_p{N_PERMS}b{LSH_BANDS}", sf_dir)
     docs = load(spark, sf_dir, "documents")
     os.makedirs(d, exist_ok=True)
     idx = MinHashIndex(os.path.join(d, "index"))

@@ -694,15 +694,9 @@ class SnapshotTable:
             .mode("overwrite")
             .parquet(out_abs)
         )
-        new_buckets: dict[str, list[str]] = {}
-        for entry in sorted(os.listdir(out_abs)):
-            if entry.startswith("bucket="):
-                b = entry.split("=", 1)[1]
-                new_buckets[b] = [
-                    os.path.join(out_rel, entry, fn)
-                    for fn in sorted(os.listdir(os.path.join(out_abs, entry)))
-                    if fn.endswith(".parquet")
-                ]
+        new_buckets = {
+            str(b): fs for b, fs in list_bucket_files(out_abs, out_rel).items()
+        }
         # Post-compaction all live files share one physical schema again
         # (current generation) and all key versions are folded (MOR deltas
         # resolved by read_internal during the rewrite).
@@ -740,6 +734,28 @@ class SnapshotTable:
             if dirpath != data_root and not os.listdir(dirpath):
                 shutil.rmtree(dirpath, ignore_errors=True)
         return removed
+
+
+def list_bucket_files(abs_dir: str, rel_dir: str) -> dict[int, list[str]]:
+    """{bucket: sorted relative parquet paths} for a `bucket=N`-partitioned
+    parquet dataset staged at `abs_dir` (= <table.root>/<rel_dir>).
+
+    The one listing used by every stager of the delta layout — the batch
+    replay run (per epoch), the streaming micro-batch, and compaction — so
+    the physical layout contract (dir naming, file suffix) lives in exactly
+    one place.
+    """
+    out: dict[int, list[str]] = {}
+    for entry in sorted(os.listdir(abs_dir)):
+        if not entry.startswith("bucket="):
+            continue
+        b = int(entry.split("=", 1)[1])
+        out[b] = [
+            os.path.join(rel_dir, entry, fn)
+            for fn in sorted(os.listdir(os.path.join(abs_dir, entry)))
+            if fn.endswith(".parquet")
+        ]
+    return out
 
 
 def _parse_type(type_str: str) -> T.DataType:

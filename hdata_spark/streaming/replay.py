@@ -61,8 +61,8 @@ from hdata_spark.functions.text import (
     sha256_pudf,
 )
 from hdata_spark.operators.dedup import lww_latest
-from hdata_spark.plans.schema_registry import SchemaRegistry
-from hdata_spark.sinks.snapshot import SnapshotTable
+from hdata_spark.plans.schema_registry import SchemaRegistry, spec_evolves
+from hdata_spark.sinks.snapshot import SnapshotTable, list_bucket_files
 from hdata_spark.streaming.ledger import CommitLedger
 from hdata_spark.streaming.metrics import MetricsLog
 
@@ -220,8 +220,28 @@ def _apply_schema_changes(
     # resumes with applied=0 but the manifest still behind — evolve_schema
     # is idempotent, so re-driving an already-current spec is a no-op.
     if applied or table.schema_spec() != registry.spec:
-        table.evolve_schema(registry.spec)
+        _evolve_table_forward(table, registry)
     return applied
+
+
+def _evolve_table_forward(table: SnapshotTable, registry: SchemaRegistry) -> None:
+    """Catch the table manifest up to the registry — FORWARD only.
+
+    evolve_schema accepts any spec, so a registry BEHIND the table (a
+    fresh/lost registry state file paired with an already-evolved table)
+    would silently regress the manifest and drop evolved columns from
+    merges and reads. That pairing is unrecoverable operator error: fail
+    loudly instead of committing it.
+    """
+    if not spec_evolves(table.schema_spec(), registry.spec):
+        raise ValueError(
+            "schema registry is behind/incompatible with the table manifest "
+            f"(registry {[c['name'] for c in registry.spec]} vs table "
+            f"{[c['name'] for c in table.schema_spec()]}); refusing to "
+            "regress the table schema — restore the registry state file or "
+            "rebuild it by replaying the event log's schema_change events"
+        )
+    table.evolve_schema(registry.spec)
 
 
 def _commit_epoch(
@@ -309,7 +329,8 @@ def _apply_run(
         # between registry persist and table evolve in a previous process.
         # The drift check is a local manifest read (no Spark job) and
         # evolve_schema is idempotent, so catching up here is free.
-        table.evolve_schema(registry.spec)
+        # (Forward only: a registry BEHIND the table raises instead.)
+        _evolve_table_forward(table, registry)
 
     data = batch.filter(F.col("op") != "schema_change").drop(
         "sc_kind", "sc_column", "sc_arg"
@@ -393,20 +414,12 @@ def _apply_run(
         rows_bucket = by_epoch_bucket.get(epoch, [])
         affected = sorted(int(r["bucket"]) for r in rows_bucket)
         if mor:
-            files_by_bucket: dict[int, list[str]] = {}
             edir = os.path.join(stage_dir, f"epoch={epoch}")
-            if os.path.isdir(edir):
-                for entry in sorted(os.listdir(edir)):
-                    if not entry.startswith("bucket="):
-                        continue
-                    b = int(entry.split("=", 1)[1])
-                    files_by_bucket[b] = [
-                        os.path.join(stage_rel, f"epoch={epoch}", entry, fn)
-                        for fn in sorted(
-                            os.listdir(os.path.join(edir, entry))
-                        )
-                        if fn.endswith(".parquet")
-                    ]
+            files_by_bucket = (
+                list_bucket_files(edir, os.path.join(stage_rel, f"epoch={epoch}"))
+                if os.path.isdir(edir)
+                else {}
+            )
             merge_stats = table.register_deltas(files_by_bucket)
         else:
             epoch_batch = (

@@ -40,10 +40,14 @@ from pyspark.sql import functions as F
 
 from hdata_spark.operators.dedup import lww_latest
 from hdata_spark.plans.schema_registry import SchemaRegistry
-from hdata_spark.sinks.snapshot import SnapshotTable
+from hdata_spark.sinks.snapshot import SnapshotTable, list_bucket_files
 from hdata_spark.streaming.ledger import CommitLedger
 from hdata_spark.streaming.metrics import MetricsLog
-from hdata_spark.streaming.replay import ReplayConfig, _transform
+from hdata_spark.streaming.replay import (
+    ReplayConfig,
+    _evolve_table_forward,
+    _transform,
+)
 
 
 def apply_change_batch(
@@ -83,7 +87,7 @@ def apply_change_batch(
     # manifest is driven from registry-vs-table drift so a resume after
     # "registry persisted, table commit lost" still re-drives the schema.
     if applied or table.schema_spec() != registry.spec:
-        table.evolve_schema(registry.spec)
+        _evolve_table_forward(table, registry)
 
     data = batch.filter(F.col("op") != "schema_change").drop(
         "sc_kind", "sc_column", "sc_arg"
@@ -129,15 +133,7 @@ def apply_change_batch(
             .mode("overwrite")
             .parquet(stage_dir)
         )
-        files_by_bucket: dict[int, list[str]] = {}
-        for entry in sorted(os.listdir(stage_dir)):
-            if entry.startswith("bucket="):
-                b = int(entry.split("=", 1)[1])
-                files_by_bucket[b] = [
-                    os.path.join(stage_rel, entry, fn)
-                    for fn in sorted(os.listdir(os.path.join(stage_dir, entry)))
-                    if fn.endswith(".parquet")
-                ]
+        files_by_bucket = list_bucket_files(stage_dir, stage_rel)
         if files_by_bucket:
             # Stats come off the just-written (small) delta files, not a
             # recompute of the winners pipeline.

@@ -342,6 +342,25 @@ def test_path_expansion_leaves_globs_with_gaps_alone(spark, tmp_path):
     assert sorted(r["k"] for r in out.collect()) == [1, 2]
 
 
+def test_remote_shard_expansion_is_per_piece(tmp_path):
+    """Remote multi-digit ranges expand even when only ONE endpoint is
+    multi-digit ([0-31] spells two-digit shards a glob char-class can't
+    match), single-digit remote ranges stay globs, and a mixed spec decides
+    PER PIECE — a remote piece must not force a local glob to expand."""
+    from hdata_spark.jobspec import _expand_paths
+
+    # [0-31]: begin is one digit, end is two -> glob intent impossible
+    out = _expand_paths("s3a://b/part_[0-31]")
+    assert len(out) == 32 and "s3a://b/part_31" in out
+    # single-digit remote range: both readings plausible -> glob passthrough
+    assert _expand_paths("s3a://b/part_[0-4]") == ["s3a://b/part_[0-4]"]
+    # mixed: local glob-with-gaps stays a glob even next to a remote range
+    (tmp_path / "part-0").mkdir()
+    mixed = _expand_paths(f"{tmp_path}/part-[0-4],s3a://b/part_[000-031]")
+    assert f"{tmp_path}/part-[0-4]" in mixed
+    assert "s3a://b/part_000" in mixed and len(mixed) == 33
+
+
 def test_jdbc_writer_table_escaping_opt_in():
     """Escaping must be opt-in (non-MySQL targets choke on backticks) and
     support bracket pairs."""

@@ -239,6 +239,50 @@ def test_primed_registry_catches_up_without_schema_events(spark, tmp_path):
     )
 
 
+def test_stale_registry_refuses_to_regress_table_schema(spark, tmp_path):
+    """A fresh/lost registry paired with an already-evolved table must FAIL
+    LOUDLY, not silently commit the old narrow spec back to the manifest
+    (which would drop the evolved column from merges and reads)."""
+    cfg = CDCFixtureConfig(
+        seed=48, n_repos=6, paths_per_repo=10, hot_repos=0,
+        n_events=600, epoch_size=300, base_rows=40,
+    )
+    base, events = generate_base(cfg), generate_events(cfg)
+    table, ledger, metrics, registry = _engine(tmp_path)
+    table.overwrite(spark, spark.createDataFrame(base))
+    # table evolved in a prior life; this process's registry never saw it
+    spec = [dict(c, sources=list(c["sources"])) for c in table.schema_spec()]
+    spec.append({"name": "stars", "type": "int", "sources": ["stars"]})
+    table.evolve_schema(spec)
+    with pytest.raises(ValueError, match="behind/incompatible"):
+        replay(
+            spark, spark.createDataFrame(events), table, ledger, metrics, registry
+        )
+    # and the manifest kept the evolved column
+    assert any(c["name"] == "stars" for c in table.schema_spec())
+
+
+def test_spec_evolves_predicate():
+    from hdata_spark.plans.schema_registry import spec_evolves
+
+    old = [
+        {"name": "a", "type": "int", "sources": ["a"]},
+        {"name": "b", "type": "string", "sources": ["b"]},
+    ]
+    add = old + [{"name": "c", "type": "int", "sources": ["c"]}]
+    widen = [dict(old[0], type="bigint"), old[1]]
+    rename = [{"name": "a2", "type": "int", "sources": ["a2", "a"]}, old[1]]
+    assert spec_evolves(old, old)
+    assert spec_evolves(old, add)
+    assert spec_evolves(old, widen)
+    assert spec_evolves(old, rename)
+    assert not spec_evolves(add, old)          # dropped column
+    assert not spec_evolves(widen, old)        # narrowed type
+    # int -> string is a legal widen; bigint -> int is not:
+    assert spec_evolves(old, [dict(old[0], type="string"), old[1]])
+    assert not spec_evolves([dict(old[0], type="bigint")], [old[0]])
+
+
 def test_evolve_schema_reapply_is_noop(spark, tmp_path):
     """Re-driving an already-current spec must not churn versions/gens."""
     table = SnapshotTable(str(tmp_path / "t"), n_buckets=4)

@@ -250,6 +250,26 @@ def test_ivf_assign_survives_nan_and_zero_vectors(spark):
     assert out[4] == 0 and out[5] == 0  # undefined sims -> deterministic floor
 
 
+def test_kmeans_fit_survives_nan_and_inf_components(spark):
+    """Dirty embeddings must not abort the fit's ANSI cast to BIGINT in the
+    fixed-point mean: NaN/±Inf components contribute 0, clean vectors still
+    shape the centroids, and the fit stays deterministic."""
+    from hdata_spark.operators.similarity import kmeans_fit
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),            # seeds
+        (2, [float("nan"), 1.0]),                     # NaN component
+        (3, [float("inf"), 1.0]),                     # +Inf component
+        (4, [1.0, float("-inf")]),                    # -Inf component
+        (5, [0.9, 0.1]), (6, [0.1, 0.9]),             # clean
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = {r["cell"]: r["cv"] for r in kmeans_fit(df, n_cells=2, n_iters=2).collect()}
+    assert set(cents) <= {0, 1} and len(cents) >= 1
+    for cv in cents.values():
+        assert all(v == v and abs(v) < 1e9 for v in cv), cv  # finite
+
+
 def test_multimodal_downsample_and_resize_stub(spark):
     """Binary-in/binary-out plumbing: downsample keeps every stride-th byte;
     the codec-backed resize is an honest documented stub."""
