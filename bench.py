@@ -435,14 +435,21 @@ def main() -> None:
         # Session history: co-tenant noise is +/-50%, so one session cannot
         # put the >=0.8 criterion beyond noise. Every scaling run appends
         # here and BASELINE.md reports the whole envelope, worst included.
-        # Rows carry the git commit, and the reported envelope covers only
-        # the CURRENT code version — sessions from older code must not be
-        # (mis)attributed to this one.
+        # Rows carry a CODE-version key (the git tree hash of hdata_spark/
+        # plus the bench.py blob, not HEAD), and the reported envelope
+        # covers only the current code version — sessions from older code
+        # must not be (mis)attributed to this one, while doc-only commits
+        # (including committing these BENCH artifacts between sessions)
+        # must not orphan earlier same-code sessions.
         try:
-            commit = subprocess.run(
-                ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            ids = subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "HEAD:hdata_spark",
+                 "HEAD:bench.py"],
                 capture_output=True, text=True, check=True,
-            ).stdout.strip()
+            ).stdout.split()
+            import hashlib as _hashlib
+
+            commit = _hashlib.sha256("+".join(ids).encode()).hexdigest()[:12]
         except Exception:
             commit = "unknown"
         hist_path = os.path.join(REPO, "BENCH", "scaling_sessions.jsonl")
