@@ -758,6 +758,56 @@ def list_bucket_files(abs_dir: str, rel_dir: str) -> dict[int, list[str]]:
     return out
 
 
+def delta_footer_stats(
+    root: str, files_by_bucket: dict[int, list[str]], lsn_col: str = "_lsn"
+) -> list[dict]:
+    """Per-bucket (applied_events, max `lsn_col`) for just-staged delta files,
+    read from the PARQUET FOOTERS — zero Spark jobs.
+
+    The streaming micro-batch needs per-bucket counts + max LSN for its
+    metrics/ledger row; launching a read job over files the same trigger just
+    wrote is a fixed per-trigger cost that caps WAL-tail throughput. Row
+    counts and int64 min/max column statistics are already in each file's
+    footer, so the driver reads them directly (the files are local/lake
+    metadata reads, one per staged file — bounded by n_buckets per trigger).
+    Falls back to a pyarrow single-column read (still no Spark job) for any
+    row group whose writer skipped statistics.
+    """
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for bucket, rels in sorted(files_by_bucket.items()):
+        n = 0
+        mx: int | None = None
+        for rel in rels:
+            path = os.path.join(root, rel)
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            n += md.num_rows
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            idx = names.index(lsn_col)
+            need_fallback = False
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    need_fallback = True
+                    break
+                mx = st.max if mx is None else max(mx, int(st.max))
+            if need_fallback:
+                col = pf.read(columns=[lsn_col]).column(lsn_col)
+                if len(col):
+                    import pyarrow.compute as pc
+
+                    fmx = pc.max(col).as_py()
+                    if fmx is not None:
+                        mx = fmx if mx is None else max(mx, int(fmx))
+        if n and mx is not None:
+            out.append(
+                {"bucket": bucket, "applied_events": n, "max_applied_lsn": int(mx)}
+            )
+    return out
+
+
 def _parse_type(type_str: str) -> T.DataType:
     mapping = {
         "string": T.StringType(),

@@ -40,7 +40,11 @@ from pyspark.sql import functions as F
 
 from hdata_spark.operators.dedup import lww_latest
 from hdata_spark.plans.schema_registry import SchemaRegistry
-from hdata_spark.sinks.snapshot import SnapshotTable, list_bucket_files
+from hdata_spark.sinks.snapshot import (
+    SnapshotTable,
+    delta_footer_stats,
+    list_bucket_files,
+)
 from hdata_spark.streaming.ledger import CommitLedger
 from hdata_spark.streaming.metrics import MetricsLog
 from hdata_spark.streaming.replay import (
@@ -59,6 +63,7 @@ def apply_change_batch(
     metrics: MetricsLog,
     registry: SchemaRegistry,
     cfg: ReplayConfig,
+    maybe_schema_changes: bool = True,
 ) -> dict | None:
     """Apply ONE micro-batch of change events (shared stream/batch core).
 
@@ -68,24 +73,34 @@ def apply_change_batch(
     rule because projection only ADDS evolved columns; data rows preceding
     the change simply carry nulls there, exactly as the registry's
     since_lsn records.
+
+    `maybe_schema_changes=False` (set by `stream_replay` after profiling the
+    log ONCE at stream start, the batch replayer's upfront-profile rule —
+    replay.py `max_sc_epoch`) skips the per-trigger schema-change
+    filter+collect job entirely: on a schema-stable WAL tail that job is a
+    pure fixed cost paid every micro-batch for an always-empty result.
     """
     if ledger.is_committed(batch_id):
         return None
-    changes = (
-        batch.filter(F.col("op") == "schema_change")
-        .select("lsn", "sc_kind", "sc_column", "sc_arg")
-        .orderBy("lsn")
-        .collect()
-    )
     applied = 0
-    for ch in changes:
-        if registry.has_lsn(ch["lsn"]):
-            continue  # re-delivered batch: change already applied
-        registry.apply_change(ch["sc_kind"], ch["sc_column"], ch["sc_arg"], ch["lsn"])
-        applied += 1
+    if maybe_schema_changes:
+        changes = (
+            batch.filter(F.col("op") == "schema_change")
+            .select("lsn", "sc_kind", "sc_column", "sc_arg")
+            .orderBy("lsn")
+            .collect()
+        )
+        for ch in changes:
+            if registry.has_lsn(ch["lsn"]):
+                continue  # re-delivered batch: change already applied
+            registry.apply_change(
+                ch["sc_kind"], ch["sc_column"], ch["sc_arg"], ch["lsn"]
+            )
+            applied += 1
     # Same crash-window rule as batch replay (_apply_schema_changes): the
     # manifest is driven from registry-vs-table drift so a resume after
     # "registry persisted, table commit lost" still re-drives the schema.
+    # The drift probe is a local manifest read — no Spark job either way.
     if applied or table.schema_spec() != registry.spec:
         _evolve_table_forward(table, registry)
 
@@ -134,20 +149,11 @@ def apply_change_batch(
             .parquet(stage_dir)
         )
         files_by_bucket = list_bucket_files(stage_dir, stage_rel)
-        if files_by_bucket:
-            # Stats come off the just-written (small) delta files, not a
-            # recompute of the winners pipeline.
-            stats = (
-                spark.read.parquet(stage_dir)
-                .groupBy("bucket")
-                .agg(
-                    F.count("*").alias("applied_events"),
-                    F.max("_lsn").alias("max_applied_lsn"),
-                )
-                .collect()
-            )
-        else:
-            stats = []
+        # Per-bucket stats come straight off the just-written files' parquet
+        # FOOTERS (row counts + int64 max statistics) — the second per-trigger
+        # Spark job this path used to launch (a re-read of its own output) is
+        # gone; see sinks.snapshot.delta_footer_stats.
+        stats = delta_footer_stats(table.root, files_by_bucket)
         merge_stats = table.register_deltas(files_by_bucket)
     else:
         stats = (
@@ -248,13 +254,26 @@ def stream_replay(
     the last committed trigger — new files only (the WAL-tail loop).
     """
     cfg = cfg or ReplayConfig()
-    schema = spark.read.parquet(events_dir).schema
+    log = spark.read.parquet(events_dir)
+    schema = log.schema
+
+    # Upfront profile (ONE tiny job per drain, the batch replayer's
+    # max_sc_epoch rule): does the log contain ANY schema-change event? If
+    # not, every micro-batch skips its schema-change filter+collect job — a
+    # fixed per-trigger cost on the (typical) schema-stable WAL tail. Sound
+    # under Trigger.AvailableNow: the drain processes exactly the files
+    # present now, i.e. the files this profile saw; a later resume re-profiles.
+    maybe_sc = (
+        "op" in schema.fieldNames()
+        and log.filter(F.col("op") == "schema_change").limit(1).count() > 0
+    )
 
     n_batches = {"n": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         apply_change_batch(
-            spark, batch_df, int(batch_id), table, ledger, metrics, registry, cfg
+            spark, batch_df, int(batch_id), table, ledger, metrics, registry,
+            cfg, maybe_schema_changes=maybe_sc,
         )
         n_batches["n"] += 1
 
