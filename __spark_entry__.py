@@ -121,9 +121,47 @@ def _cdc_engine_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_engine_stateful_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL operator (applyInPandasWithState per-repo progress
+    monitor — streaming/stateful.py) driven end to end and value-checked
+    against its batch twin: after draining the WAL, the latest update row
+    per repo (highest batch_id) must carry exactly the batch GROUP BY
+    totals — streaming state accumulated across micro-batches converges to
+    the batch aggregate."""
+    import os
+
+    from pyspark.sql import Window
+
+    from hdata_spark.streaming.stateful import repo_progress_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    changes = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("user_id").cast("string").alias("repo"),
+    )
+    d = tempfile.mkdtemp(prefix="hdata_spark_stateful_entry_")
+    events_dir = os.path.join(d, "wal")
+    # 4 WAL segments -> 4 checkpointed micro-batches of state updates
+    changes.repartition(4).write.parquet(events_dir)
+    log = repo_progress_stream(
+        spark, events_dir, os.path.join(d, "ckpt"), max_files_per_trigger=1
+    )
+    w = Window.partitionBy("repo").orderBy(F.col("batch_id").desc())
+    latest = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return latest.select(
+        F.col("repo").cast("bigint").alias("user_id"),
+        F.col("applied_events"),
+        F.col("max_lsn"),
+    )
+
+
 _ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_engine_replay": _cdc_engine_replay,
     "cdc_engine_stream_replay": _cdc_engine_stream_replay,
+    "cdc_engine_stateful_progress": _cdc_engine_stateful_progress,
 }
 
 _LWW_FINAL_STATE_SQL = """
@@ -137,6 +175,12 @@ _LWW_FINAL_STATE_SQL = """
 _ENGINE_ORACLES = {
     "cdc_engine_replay": _LWW_FINAL_STATE_SQL,
     "cdc_engine_stream_replay": _LWW_FINAL_STATE_SQL,
+    # Batch twin of the stateful progress monitor: final per-repo state ==
+    # plain GROUP BY over the whole event log.
+    "cdc_engine_stateful_progress": """
+    SELECT user_id, count(*) AS applied_events, max(event_id) AS max_lsn
+    FROM events GROUP BY user_id
+    """,
 }
 
 

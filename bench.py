@@ -15,6 +15,13 @@ executors" criterion.
 
 Replay-only mode (`--mode replay`): used by the scaling subprocesses;
 prints one JSON line with events/sec for the given --cpus.
+
+The full-mode JSON carries `workload_fingerprints` — sha256[:12] of each
+headline query's SOURCE (and of the replay harness + fixture config). Two
+rounds' per-query timings are comparable IFF the fingerprints match; a
+changed fingerprint marks a workload change (the honest-IVF lesson from
+round 3, where `emb_ivf_ann` grew a real k-means fit and its timing delta
+was misread as a regression).
 """
 
 from __future__ import annotations
@@ -340,6 +347,29 @@ def run_stream_replay(
     }
 
 
+def _workload_fingerprints() -> dict:
+    """Per-query workload fingerprint: sha256 of the query function's SOURCE
+    (plus, for the replay row, the harness + fixture config). Cross-round
+    bench deltas are only attributable when the workload is provably the
+    same — a query whose meaning changed between rounds (e.g. a stand-in
+    replaced by the real algorithm) shows up as a fingerprint change, not a
+    phantom regression."""
+    import hashlib
+    import inspect
+
+    from hdata_spark.queries import QUERIES
+
+    fps = {}
+    for name in HEADLINE:
+        src = inspect.getsource(QUERIES[name])
+        fps[name] = hashlib.sha256(src.encode()).hexdigest()[:12]
+    replay_src = inspect.getsource(run_replay) + repr(_fixture_cfg(N_EVENTS_FULL))
+    fps["cdc_engine_replay"] = hashlib.sha256(
+        replay_src.encode()
+    ).hexdigest()[:12]
+    return fps
+
+
 def run_queries() -> dict:
     from hdata_spark.queries import QUERIES
     from hdata_spark.session import get_spark
@@ -516,6 +546,7 @@ def main() -> None:
                 "replay_events_per_sec": replay_stats["events_per_sec"],
                 "replay_events": replay_stats["events"],
                 "cpus": args.cpus,
+                "workload_fingerprints": _workload_fingerprints(),
             }
         )
     )

@@ -122,6 +122,10 @@ def _expand_paths(path: str) -> list[str]:
     Decisions are PER PIECE: `local_[001-003],s3a://b/part_[000-031]`
     expands each piece by its own filesystem's rules — one piece's remote
     scheme must not force expansion of another piece's local glob.
+
+    The final list is DE-DUPLICATED (first occurrence wins): overlapping
+    shard ranges across pieces (`t_[001-003],t_[002-004]`) must not read a
+    shard twice and duplicate its rows.
     """
     out: list[str] = []
     for piece in (p.strip() for p in str(path).split(",")):
@@ -140,7 +144,7 @@ def _expand_paths(path: str) -> list[str]:
             out.extend(exp)
         else:
             out.append(piece)
-    return out
+    return list(dict.fromkeys(out))
 
 
 _NUMERIC_TYPES = ("integer", "long", "short", "byte", "float", "double", "decimal")

@@ -21,9 +21,11 @@ persists each document's LSH band rows in a SnapshotTable, so:
 Index layout: SnapshotTable keyed by (band_idx, band_sig, doc_id) —
 hash-bucketed uniformly even when one band bucket is huge — with the
 engine's atomic manifest commits, time travel, and compaction for free.
-Contract: document text is immutable per doc_id (the corpus-append shape);
-re-ingesting a doc_id with CHANGED text would leave its old band rows
-behind — delete-then-ingest via SnapshotTable tombstones if ever needed.
+Plain ``ingest`` assumes document text is immutable per doc_id (the
+corpus-append shape); a re-crawled doc_id with CHANGED text must go through
+``ingest(..., replace=True)``, which tombstones the stale band rows in the
+same LSN-guarded merge, or ``delete`` + re-ingest. Both paths are
+idempotent on re-run.
 
 Reference basis: HData has no incremental operator family; this extends the
 same band-bucket design as text_dedup.minhash_lsh_candidates (SURVEY §2's
@@ -96,12 +98,68 @@ class MinHashIndex:
         batch_lsn: int,
         text_col: str = "text",
         id_col: str = "doc_id",
+        replace: bool = False,
     ) -> dict:
         """Signature + band ONLY `docs` (the new batch) and merge their band
         rows into the index. Keyed merge on (band_idx, band_sig, doc_id)
         with the batch LSN: re-running the same batch (crash recovery,
-        at-least-once upstream) is a no-op by stored-LSN comparison."""
+        at-least-once upstream) is a no-op by stored-LSN comparison.
+
+        ``replace=True`` is the CHANGED-TEXT path (a re-crawled corpus
+        re-ingesting a doc_id with different content): the doc's stored band
+        rows that the new text no longer produces are tombstoned in the SAME
+        merge. Without it, stale band rows would keep matching the old
+        text's buckets and corrupt candidate recall. Tombstones and inserts
+        touch DISJOINT keys by construction (rows the new text still
+        produces are simply re-asserted, never deleted), so one merge at one
+        LSN carries both with no tied-LSN ambiguity — and a crashed re-run
+        recomputes an empty stale set against the already-replaced index,
+        making the retry a no-op. `replace` reads the stored index (an
+        anti join pruned to the batch's docs), so plain appends should keep
+        the default: batch-only cost, plan never touches stored data."""
         batch = self._batch_bands(docs, batch_lsn, text_col, id_col)
+        if replace:
+            stale = (
+                self._band_rows(spark)
+                .select("band_idx", "band_sig", "doc_id")
+                .join(
+                    batch.select("doc_id").distinct(), "doc_id", "left_semi"
+                )
+                .join(
+                    batch.select("band_idx", "band_sig", "doc_id"),
+                    ["band_idx", "band_sig", "doc_id"],
+                    "left_anti",
+                )
+            )
+            tombstones = stale.select(
+                "band_idx",
+                "band_sig",
+                "doc_id",
+                F.lit(batch_lsn).cast("long").alias("lsn"),
+                F.lit("delete").alias("op"),
+            )
+            batch = batch.unionByName(tombstones)
+        return self.table.merge(spark, batch)
+
+    def delete(
+        self, spark: SparkSession, doc_ids: DataFrame, batch_lsn: int
+    ) -> dict:
+        """Tombstone EVERY live band row of `doc_ids` (a one-column frame of
+        doc_id) — removing documents from the index (takedowns, filtering).
+        Idempotent like ingest: the merge is LSN-guarded, and a re-run finds
+        no live rows to tombstone."""
+        rows = (
+            self._band_rows(spark)
+            .select("band_idx", "band_sig", "doc_id")
+            .join(doc_ids.select("doc_id"), "doc_id", "left_semi")
+        )
+        batch = rows.select(
+            "band_idx",
+            "band_sig",
+            "doc_id",
+            F.lit(batch_lsn).cast("long").alias("lsn"),
+            F.lit("delete").alias("op"),
+        )
         return self.table.merge(spark, batch)
 
     def _batch_bands(

@@ -3,10 +3,11 @@
 Media assets are carried as ``binary`` columns with typed metadata structs —
 the lake-native pattern (same as Iceberg/Parquet BLOB columns). All
 per-asset work runs through Arrow-batched ``mapInPandas``: the Spark-side
-contract (schema in/out, batch shape, partitioning) is real and tested; the
-actual codec calls are STUBBED because the sandbox has no image/audio
-libraries (see ``decode_image``) — swap the stub body for PIL/ffmpeg on a
-real cluster and nothing else changes.
+contract (schema in/out, batch shape, partitioning) is real and tested.
+``decode_image``/``resize_image`` REALLY decode binary PPM/PGM (pure numpy
+— no codec libraries needed); formats that require absent codec libs
+(JPEG/PNG/audio/video) raise NotImplementedError from the same entry point
+— swap in PIL/ffmpeg on a real cluster and nothing else changes.
 
 Batch-shape rules that matter at 100 TB:
 
@@ -42,15 +43,79 @@ META_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to pixels. STUB: no codec libs in sandbox.
+def _make_ppm_codec():
+    """Factory for the pure-numpy PPM codec (decode/encode), built in a
+    function scope so mapInPandas closures that capture these functions
+    pickle BY VALUE — workers never import this package (the --py-files
+    contract, same pattern as functions/text.py)."""
 
-    On a real cluster:  `from PIL import Image; return Image.open(BytesIO(payload))`.
-    """
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not present in this environment; "
-        "the Spark-side plumbing (schema, batching, partitioning) is real"
-    )
+    def decode(payload: bytes):
+        """Decode a binary PPM/PGM payload (P6 = RGB, P5 = grayscale) to a
+        numpy uint8 array of shape (h, w, 3) / (h, w). Pure numpy — no
+        codec libraries. Formats this sandbox has no codec for (JPEG, PNG,
+        audio, video) still raise NotImplementedError: on a real cluster
+        swap in PIL/ffmpeg and nothing else changes."""
+        import numpy as np
+
+        magic = bytes(payload[:2])
+        if magic not in (b"P5", b"P6"):
+            raise NotImplementedError(
+                f"no codec for magic {magic!r}: only binary PPM (P6) / PGM "
+                "(P5) decode without image libraries; JPEG/PNG/audio/video "
+                "need PIL/opencv/ffmpeg (absent in this environment)"
+            )
+        # Header: magic, width, height, maxval as ASCII tokens separated by
+        # whitespace; '#' starts a comment running to end of line. A single
+        # whitespace byte separates maxval from the raster.
+        pos, vals = 2, []
+        while len(vals) < 3:
+            if pos >= len(payload):
+                raise ValueError("truncated PPM header")
+            b = payload[pos : pos + 1]
+            if b.isspace():
+                pos += 1
+            elif b == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+            else:
+                start = pos
+                while (
+                    pos < len(payload)
+                    and not payload[pos : pos + 1].isspace()
+                ):
+                    pos += 1
+                vals.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = vals
+        if not (0 < maxval < 256):
+            raise ValueError(f"unsupported PPM maxval {maxval} (16-bit)")
+        ch = 3 if magic == b"P6" else 1
+        n = w * h * ch
+        arr = np.frombuffer(payload, dtype=np.uint8, count=-1, offset=pos)
+        if arr.size < n:
+            raise ValueError(
+                f"truncated PPM raster: {arr.size} bytes < {w}x{h}x{ch}"
+            )
+        arr = arr[:n]
+        return arr.reshape((h, w, 3)) if ch == 3 else arr.reshape((h, w))
+
+    def encode(arr) -> bytes:
+        """Encode a (h, w, 3) / (h, w) uint8 array as binary P6 / P5."""
+        import numpy as np
+
+        a = np.asarray(arr, dtype=np.uint8)
+        if a.ndim == 3 and a.shape[2] == 3:
+            magic, h, w = b"P6", a.shape[0], a.shape[1]
+        elif a.ndim == 2:
+            magic, h, w = b"P5", a.shape[0], a.shape[1]
+        else:
+            raise ValueError(f"expected (h,w,3) or (h,w), got {a.shape}")
+        return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+    return decode, encode
+
+
+decode_image, encode_ppm = _make_ppm_codec()
 
 
 def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -203,11 +268,109 @@ def byte_histogram(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload. STUB: no codec libs in sandbox (see
-    decode_image); on a real cluster: PIL decode -> resize -> re-encode."""
-    raise NotImplementedError(
-        "image resize requires PIL/opencv, not present in this environment; "
-        "downsample_payloads demonstrates the real Spark-side plumbing"
+    """Resize a PPM/PGM payload (nearest-neighbor, pure numpy) and re-encode
+    in the same format. Decode -> integer index-map resample -> encode;
+    formats without a codec here (JPEG/PNG/...) raise NotImplementedError
+    from `decode_image` — swap in PIL on a real cluster."""
+    import numpy as np
+
+    arr = decode_image(payload)
+    in_h, in_w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(height) * in_h) // height
+    cols = (np.arange(width) * in_w) // width
+    return encode_ppm(arr[rows][:, cols])
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("sum_byte", T.LongType()),
+    ]
+)
+
+
+def decode_image_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-image decoded stats via the REAL PPM decode inside mapInPandas:
+    (width, height, channels) parsed from the header, (n_pixel_bytes,
+    sum_byte) computed over the DECODED raster — integer outputs so the
+    DuckDB oracle hash-matches exactly. The codec pair is captured from the
+    by-value factory (_make_ppm_codec), so workers never import this
+    package. Arrow-batched; peak memory = batch_rows * avg_payload."""
+    decode, _encode = _make_ppm_codec()
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "width", "height", "channels",
+                "n_pixel_bytes", "sum_byte",
+            )}
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode(bytes(b))
+                out["doc_id"].append(int(did))
+                out["width"].append(int(arr.shape[1]))
+                out["height"].append(int(arr.shape[0]))
+                out["channels"].append(
+                    int(arr.shape[2]) if arr.ndim == 3 else 1
+                )
+                out["n_pixel_bytes"].append(int(arr.size))
+                out["sum_byte"].append(int(arr.astype(np.int64).sum()))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(out["doc_id"], dtype="int64"),
+                    "width": _pd.Series(out["width"], dtype="int32"),
+                    "height": _pd.Series(out["height"], dtype="int32"),
+                    "channels": _pd.Series(out["channels"], dtype="int32"),
+                    "n_pixel_bytes": _pd.Series(
+                        out["n_pixel_bytes"], dtype="int64"
+                    ),
+                    "sum_byte": _pd.Series(out["sum_byte"], dtype="int64"),
+                }
+            )
+
+    src = df.select(F.col("doc_id").cast("long"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(stats, schema=DECODE_SCHEMA)
+
+
+def with_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic P6 test image per doc: width = 4 + doc_id % 5, height =
+    3 + doc_id % 4, raster byte i = (doc_id * 31 + 7 * i) % 256 — closed-form
+    arithmetic a SQL oracle can reproduce without any codec. Built
+    vectorized in mapInPandas (binary columns assemble worker-side, exactly
+    where a lake read would place them)."""
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("payload", T.BinaryType())]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                n = w * h * 3
+                raster = ((did * 31 + 7 * np.arange(n)) % 256).astype(np.uint8)
+                payloads.append(
+                    b"P6" + f"\n{w} {h}\n255\n".encode() + raster.tobytes()
+                )
+                ids.append(did)
+            yield _pd.DataFrame(
+                {"doc_id": _pd.Series(ids, dtype="int64"),
+                 "payload": payloads}
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        build, schema=out_schema
     )
 
 

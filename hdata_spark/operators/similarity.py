@@ -104,23 +104,29 @@ def seed_centroids(
     )
 
 
-def _mean_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
+def _mean_centroids_from_exploded(
+    ex: DataFrame, cells: DataFrame, id_col: str
+) -> DataFrame:
     """Per-cell elementwise mean via exact fixed-point sums (see MEAN_UNIT).
 
-    posexplode -> codegen'd integer agg with map-side combine (shuffle volume
-    = n_cells * dim, independent of row count); the tiny (cell, pos, coord)
+    Input is the SLIM pre-exploded (id, pos, val) frame joined to the (id,
+    cell) assignment — the fit loop never touches the full-width embedding
+    payload. Codegen'd integer agg with map-side combine (shuffle volume =
+    n_cells * dim, independent of row count); the tiny (cell, pos, coord)
     result folds back to arrays with an interpreted HOF — fine on n_cells
     rows. A cell that attracted no vectors disappears (standard Lloyd's).
+    The integer sum is order-independent, so the slim path is bit-identical
+    to exploding the assigned full-width frame.
     """
     # Non-finite components (NaN / ±Inf from dirty embeddings) contribute 0
     # to the mean instead of aborting the ANSI cast to BIGINT — the same
     # dirty-corpus-must-not-kill-the-job contract as `cosine`'s try_divide.
     # The between() bound also keeps the fixed-point product far from BIGINT
     # overflow (1e10 * 1e7 = 1e17 < 2^63).
-    val = F.col("val").cast("double")
+    val = F.col("val")
     finite = F.when(val.between(-1e10, 1e10), val).otherwise(F.lit(0.0))
     coords = (
-        assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        ex.join(cells.hint("shuffle_hash"), id_col)
         .select(
             "cell",
             "pos",
@@ -162,21 +168,148 @@ def kmeans_fit(
     the DuckDB oracle able to reproduce the fit bit-for-bit (the `emb_ivf_ann`
     driver check covers fit + assign + multi-probe search end to end).
 
-    Scale shape: per iteration one pass over `vectors` (broadcast centroids,
-    map-side-combined integer agg); centroids are localCheckpoint'd per
-    iteration so the lineage stays one-pass deep. No driver collect anywhere.
+    Scale shape: the corpus is exploded to slim (id, pos, val) rows ONCE and
+    localCheckpoint'd; every iteration then runs entirely codegen'd over slim
+    rows — scored-cells hash agg, packed argmax, fixed-point mean — with the
+    full-width embedding payload never shuffled inside the loop (ivf_assign's
+    payload join-back happens once, AFTER the fit, in the caller's final
+    assign). Centroids are localCheckpoint'd per iteration so lineage stays
+    one-pass deep. No driver collect anywhere. Measured (emb_ivf_ann end to
+    end @ sf0.1, warm, min over repeats): 6.6 s interpreted-HOF form -> ~4 s
+    this form; per-iteration fit cost ~1 s, nearly all fixed job-scheduling
+    latency at this tiny n (2k vectors) — the compute win grows with n.
     """
     _check_n_cells(n_cells)
-    centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
-    for _ in range(n_iters):
-        assigned = ivf_assign(
-            vectors, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
-            centroids=centroids,
+    from hdata_spark.sinks.snapshot import _no_aqe
+
+    # The iteration bodies are small fixed-shape jobs (slim rows, known
+    # sizes): AQE's per-exchange materialize-and-replan is pure latency here
+    # (the per-epoch MERGE lesson — sinks/snapshot._no_aqe), and turning it
+    # off also makes the hash(id) co-partitioning below survive verbatim, so
+    # the scored agg, the argmax, and the mean's id-join all run WITHOUT an
+    # exchange: one shuffle total (the upfront repartition) plus the tiny
+    # (cell, pos) aggs per iteration. Checkpoints are EAGER so every fit job
+    # actually executes inside this scope.
+    with _no_aqe(vectors.sparkSession):
+        ex = (
+            _explode_vectors(vectors, id_col, vec_col)
+            .repartition(F.col(id_col))
+            .localCheckpoint(eager=True)
         )
-        centroids = _mean_centroids(assigned, vec_col).localCheckpoint(
-            eager=False
-        )
+        centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
+        for _ in range(n_iters):
+            cells = _argmax_cell(
+                _scored_from_exploded(ex, centroids, id_col), id_col
+            )
+            centroids = _mean_centroids_from_exploded(
+                ex, cells, id_col
+            ).localCheckpoint(eager=True)
     return centroids
+
+
+def scored_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, csim): cosine of every vector against every centroid —
+    the n x n_cells hot loop of the IVF build/fit, in WHOLE-STAGE CODEGEN.
+
+    The obvious form (`cosine(vec, cv)` on a broadcast cross join) runs the
+    higher-order `aggregate(zip_with(...))` INTERPRETED (CodegenFallback),
+    a ~10x constant factor paid n x n_cells times per fit iteration. This
+    form posexplodes each side once and computes codegen'd sum-of-products:
+
+        explode(vectors) ⋈_pos broadcast(explode(centroids))
+          -> groupBy(id, cell): SUM(val*cval) [dot], SUM(val*val) [norm²]
+          -> ⋈_cell broadcast(centroid norms)   [tiny, n_cells rows]
+
+    Numerics match the interpreted form bit-for-bit in practice: posexplode
+    emits coordinates in position order within one partition, the broadcast
+    hash join preserves stream order, and the single partial HashAggregate
+    per (id, cell) accumulates the double sum in that same sequential
+    order — the exact summation the sequential HOF `dot` performs (and the
+    DuckDB oracle's list_sum). Shuffle volume is n x n_cells slim rows with
+    map-side combine. Measured on emb_ivf_ann @ sf0.1, warm, min over
+    repeats on a noisy VM: 6.6 s interpreted -> ~4 s codegen end to end
+    (the residual is per-job scheduling floor, not compute — the win grows
+    with n, which is the 100-TB point).
+
+    Contract deltas vs the HOF form (irrelevant for well-formed corpora,
+    documented for honesty): a NULL coordinate is skipped by SUM instead of
+    nulling the whole cosine, and a vector/centroid dim mismatch silently
+    inner-joins the common positions instead of null-padding.
+    """
+    ex = _explode_vectors(vectors, id_col, vec_col)
+    return _scored_from_exploded(ex, centroids, id_col)
+
+
+def _explode_vectors(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, pos, val): one slim row per vector coordinate (double-cast)."""
+    return vectors.select(
+        id_col, F.posexplode(F.col(vec_col)).alias("pos", "val")
+    ).select(id_col, "pos", F.col("val").cast("double").alias("val"))
+
+
+def _scored_from_exploded(
+    ex: DataFrame, centroids: DataFrame, id_col: str
+) -> DataFrame:
+    """scored_cells over a pre-exploded (id, pos, val) frame — lets
+    `kmeans_fit` explode the corpus ONCE and reuse it across iterations."""
+    # ONE broadcast frame carries both the exploded coordinates AND the
+    # per-cell norm (interpreted dot on n_cells rows — constant work, done
+    # once inside the broadcast build): a separate norm broadcast + post-agg
+    # join would cost an extra Spark job per fit iteration, pure fixed
+    # latency. `max(nc)` rides the same HashAggregate (fixed-width,
+    # constant per group) instead of a join-back.
+    cex = centroids.select(
+        "cell",
+        F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("nc"),
+        F.posexplode(F.col("cv")).alias("pos", "cval"),
+    ).select("cell", "pos", F.col("cval").cast("double").alias("cval"), "nc")
+    sums = (
+        ex.join(F.broadcast(cex), "pos")
+        .groupBy(id_col, "cell")
+        .agg(
+            F.sum(F.col("val") * F.col("cval")).alias("dp"),
+            F.sum(F.col("val") * F.col("val")).alias("vv"),
+            F.max("nc").alias("nc"),
+        )
+    )
+    return sums.select(
+        id_col,
+        "cell",
+        F.try_divide(F.col("dp"), F.sqrt(F.col("vv")) * F.col("nc")).alias(
+            "csim"
+        ),
+    )
+
+
+def _argmax_cell(scored: DataFrame, id_col: str) -> DataFrame:
+    """(id, cell): nearest cell per id from a (id, cell, csim) frame.
+
+    max_by ordering must be a fixed-width type to stay a HashAggregate
+    (struct orderings demote to SortAggregate), so (csim desc, cell asc) is
+    packed into one BIGINT: csim is exact in 1e-9 units after round(.., 9),
+    and cell < 2^20 by contract (_check_n_cells). Map-side partial agg
+    collapses the n_cells candidate rows before the exchange. Undefined
+    similarities (NULL from a zero norm, NaN from dirty embeddings) rank
+    BELOW every real one instead of aborting the ANSI cast to BIGINT."""
+    packed = (
+        F.round(
+            F.coalesce(F.nanvl(F.col("csim"), F.lit(-2.0)), F.lit(-2.0))
+            * F.lit(1_000_000_000)
+        ).cast("long")
+        * F.lit(1 << 20)
+        - F.col("cell")
+    )
+    rounded = scored.select(
+        id_col, "cell", F.round(F.col("csim"), 9).alias("csim")
+    )
+    return rounded.groupBy(id_col).agg(
+        F.max_by(F.col("cell"), packed).alias("cell")
+    )
 
 
 def ivf_assign(
@@ -190,9 +323,11 @@ def ivf_assign(
 
     `centroids` (cell, cv) comes from `kmeans_fit` (the real path) or
     defaults to the first-n seed (deterministic stand-in, kept for
-    back-compat and as the k-means init). One broadcast cross join +
-    per-vector argmax — the IVF build step. At cluster scale the output is
-    written partitioned by `cell`, making search a partition-pruned scan.
+    back-compat and as the k-means init). One codegen'd scored join
+    (`scored_cells` — posexplode + broadcast pos-join + hash agg, NOT the
+    interpreted HOF cosine) + per-vector argmax — the IVF build step. At
+    cluster scale the output is written partitioned by `cell`, making
+    search a partition-pruned scan.
     """
     if centroids is None:
         centroids = seed_centroids(vectors, n_cells, id_col, vec_col)
@@ -201,30 +336,10 @@ def ivf_assign(
     # SLIM argmax: the embedding payload never enters the aggregate. A
     # row_number window (or a first(embedding) agg) would push n_cells
     # copies of every embedding through a sort/immutable-buffer
-    # SortAggregate; instead the agg sees only (id, cell, packed ordering).
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        "cell",
-        F.round(cosine(F.col(vec_col), F.col("cv")), 9).alias("csim"),
-    )
-    # max_by ordering must be a fixed-width type to stay a HashAggregate
-    # (struct orderings demote to SortAggregate), so pack (csim desc, cell
-    # asc) into one BIGINT: csim is exact in 1e-9 units after round(.., 9),
-    # and cell < 2^20 by contract. Map-side partial agg collapses the
-    # n_cells candidate rows before the exchange.
-    # Undefined similarities (NULL from a zero norm, NaN from dirty
-    # embeddings) must rank BELOW every real one, not abort the ANSI cast
-    # to BIGINT.
-    packed = (
-        F.round(
-            F.coalesce(F.nanvl(F.col("csim"), F.lit(-2.0)), F.lit(-2.0))
-            * F.lit(1_000_000_000)
-        ).cast("long")
-        * F.lit(1 << 20)
-        - F.col("cell")
-    )
-    cells = scored.groupBy(id_col).agg(
-        F.max_by(F.col("cell"), packed).alias("cell")
+    # SortAggregate; instead the agg sees only (id, cell, packed ordering)
+    # — see _argmax_cell for the packed-BIGINT max_by contract.
+    cells = _argmax_cell(
+        scored_cells(vectors, centroids, id_col, vec_col), id_col
     )
     # Winners join back on the unique id alone (the LWW-dedup pattern):
     # shuffle_hash pins a sort-free join; each embedding crosses the wire

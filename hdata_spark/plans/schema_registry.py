@@ -55,12 +55,19 @@ def spec_evolves(old_spec: list[dict], new_spec: list[dict]) -> bool:
     any spec, so callers gate on this predicate and fail loudly instead.
     """
     for old_col in old_spec:
+        # Exact current-name match first; only fall back to a sources scan
+        # (rename lineage) when no entry carries the name today. Scanning
+        # both in one pass could bind an old column to the WRONG entry when
+        # one entry's sources mention a name another entry now carries as
+        # its current name (swap/reuse renames) — type-checking the wrong
+        # entry gives a false accept/reject.
         entry = next(
+            (c for c in new_spec if c["name"] == old_col["name"]), None
+        ) or next(
             (
                 c
                 for c in new_spec
-                if c["name"] == old_col["name"]
-                or old_col["name"] in c.get("sources", [])
+                if old_col["name"] in c.get("sources", [])
             ),
             None,
         )

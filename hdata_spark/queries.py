@@ -1482,8 +1482,8 @@ def doc_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: mapInPandas metadata extraction over a
-    binary payload column (deterministic fake payload = utf-8 of text; the
-    decode step proper is stubbed — operators/multimodal.py)."""
+    binary payload column (deterministic fake payload = utf-8 of text;
+    header-only reads — the real decode path is `media_ppm_decode`)."""
     from hdata_spark.operators.multimodal import media_metadata, with_payload_from_text
 
     d = with_payload_from_text(load(spark, sf_dir, "documents"))
@@ -1539,6 +1539,38 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = with_payload_from_text(load(spark, sf_dir, "documents"))
     return byte_histogram(d, bins=16)
+
+
+@query(
+    "media_ppm_decode",
+    """
+    SELECT d.doc_id,
+           CAST(4 + d.doc_id % 5 AS INTEGER) AS width,
+           CAST(3 + d.doc_id % 4 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(count(*) AS BIGINT) AS n_pixel_bytes,
+           CAST(sum((d.doc_id * 31 + 7 * t.i) % 256) AS BIGINT) AS sum_byte
+    FROM documents d,
+         LATERAL unnest(
+             range((4 + d.doc_id % 5) * (3 + d.doc_id % 4) * 3)) t(i)
+    GROUP BY d.doc_id
+    """,
+)
+def media_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the pipeline: build a deterministic binary P6
+    (PPM) payload per document (closed-form header + raster — see
+    operators/multimodal.with_ppm_payload), then DECODE it with the
+    pure-numpy PPM codec inside mapInPandas and emit decoded-raster stats.
+    The oracle reproduces the same arithmetic in SQL (correlated
+    generate_series over the raster index), so header parse, raster slice,
+    and pixel sums are all value-checked without any codec library."""
+    from hdata_spark.operators.multimodal import (
+        decode_image_stats,
+        with_ppm_payload,
+    )
+
+    d = with_ppm_payload(load(spark, sf_dir, "documents"))
+    return decode_image_stats(d)
 
 
 @query(

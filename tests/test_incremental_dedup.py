@@ -79,6 +79,44 @@ def test_candidates_for_batch_is_new_docs_slice(spark, tmp_path):
     assert got != full  # some old-old pairs exist and are excluded
 
 
+def test_replace_reingest_changed_text(spark, tmp_path):
+    """Re-ingesting docs whose TEXT changed with replace=True converges to
+    exactly the from-scratch pair set over the final texts (stale band rows
+    tombstoned); a crashed re-run of the replace batch is a no-op."""
+    docs, b1, b2 = _split_docs(spark, tmp_path)
+    idx = MinHashIndex(str(tmp_path / "index"))
+    idx.ingest(spark, spark.read.parquet(b1), batch_lsn=1)
+    idx.ingest(spark, spark.read.parquet(b2), batch_lsn=2)
+    # re-crawl: every batch-2 doc's text changes (append a shingle-shifting
+    # suffix so band signatures genuinely move)
+    changed = spark.read.parquet(b2).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" recrawled content drift"))
+    )
+    idx.ingest(spark, changed, batch_lsn=3, replace=True)
+    final_docs = docs.filter(F.col("doc_id") % 2 == 0).unionByName(changed)
+    expected = _pairs(minhash_lsh_candidates(final_docs))
+    assert _pairs(idx.candidate_pairs(spark)) == expected
+    # crash-replay of the replace batch: no-op
+    n_rows = idx.table.read(spark).count()
+    idx.ingest(spark, changed, batch_lsn=3, replace=True)
+    assert idx.table.read(spark).count() == n_rows
+    assert _pairs(idx.candidate_pairs(spark)) == expected
+
+
+def test_delete_removes_docs_from_index(spark, tmp_path):
+    docs, b1, b2 = _split_docs(spark, tmp_path)
+    idx = MinHashIndex(str(tmp_path / "index"))
+    idx.ingest(spark, spark.read.parquet(b1), batch_lsn=1)
+    idx.ingest(spark, spark.read.parquet(b2), batch_lsn=2)
+    gone = spark.read.parquet(b2).select("doc_id").limit(20)
+    idx.delete(spark, gone, batch_lsn=3)
+    gone_ids = {r["doc_id"] for r in gone.collect()}
+    kept = docs.filter(~F.col("doc_id").isin(list(gone_ids)))
+    assert _pairs(idx.candidate_pairs(spark)) == _pairs(
+        minhash_lsh_candidates(kept)
+    )
+
+
 def test_index_reopen_keeps_geometry(spark, tmp_path):
     _docs, b1, _b2 = _split_docs(spark, tmp_path)
     idx = MinHashIndex(str(tmp_path / "index"), n_perms=8, n_bands=4)

@@ -272,11 +272,13 @@ def test_kmeans_fit_survives_nan_and_inf_components(spark):
 
 def test_multimodal_downsample_and_resize_stub(spark):
     """Binary-in/binary-out plumbing: downsample keeps every stride-th byte;
-    the codec-backed resize is an honest documented stub."""
+    resize really works for PPM, and codec-less formats still raise."""
     import pytest as _pytest
 
     from hdata_spark.operators.multimodal import (
         downsample_payloads,
+        decode_image,
+        encode_ppm,
         resize_image,
         with_payload_from_text,
     )
@@ -284,8 +286,54 @@ def test_multimodal_downsample_and_resize_stub(spark):
     d = with_payload_from_text(_docs(spark, [(1, "abcdefgh")]))
     out = downsample_payloads(d, stride=2).collect()
     assert bytes(out[0]["payload"]) == b"aceg"
+    # JPEG magic: no codec in this sandbox -> honest NotImplementedError
     with _pytest.raises(NotImplementedError):
-        resize_image(b"...", 64, 64)
+        resize_image(b"\xff\xd8\xff\xe0...", 64, 64)
+    # PPM roundtrip: encode -> resize -> decode, nearest-neighbor semantics
+    import numpy as np
+
+    arr = (np.arange(6 * 4 * 3) % 256).astype(np.uint8).reshape((4, 6, 3))
+    small = resize_image(encode_ppm(arr), 3, 2)
+    dec = decode_image(small)
+    assert dec.shape == (2, 3, 3)
+    assert (dec == arr[::2, ::2]).all()  # integer index map picks rows 0,2
+
+
+def test_ppm_codec_p5_p6_and_headers():
+    import numpy as np
+
+    from hdata_spark.operators.multimodal import decode_image, encode_ppm
+
+    gray = (np.arange(12) % 256).astype(np.uint8).reshape((3, 4))
+    assert (decode_image(encode_ppm(gray)) == gray).all()
+    # comments + extra whitespace in the header parse correctly
+    payload = b"P5 # comment\n# another\n 4\t3 \n255\n" + bytes(range(12))
+    dec = decode_image(payload)
+    assert dec.shape == (3, 4) and dec[0, 0] == 0 and dec[2, 3] == 11
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image(b"P5\n4 3\n255\n" + bytes(range(5)))  # truncated raster
+
+
+def test_decode_image_stats_matches_fixture_arithmetic(spark):
+    from hdata_spark.operators.multimodal import (
+        decode_image_stats,
+        with_ppm_payload,
+    )
+
+    docs = _docs(spark, [(i, "x") for i in range(7)])
+    rows = {
+        r["doc_id"]: r
+        for r in decode_image_stats(with_ppm_payload(docs)).collect()
+    }
+    for i in range(7):
+        w, h = 4 + i % 5, 3 + i % 4
+        n = w * h * 3
+        assert (rows[i]["width"], rows[i]["height"]) == (w, h)
+        assert rows[i]["channels"] == 3
+        assert rows[i]["n_pixel_bytes"] == n
+        assert rows[i]["sum_byte"] == sum((i * 31 + 7 * j) % 256 for j in range(n))
 
 
 def test_frame_sample_short_payloads_dropped(spark):
