@@ -33,6 +33,7 @@ raced re-apply a no-op — the same two-layer guarantee as batch replay.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +51,7 @@ from hdata_spark.streaming.metrics import MetricsLog
 from hdata_spark.streaming.replay import (
     ReplayConfig,
     _evolve_table_forward,
+    _prof,
     _transform,
 )
 
@@ -82,6 +84,7 @@ def apply_change_batch(
     """
     if ledger.is_committed(batch_id):
         return None
+    t0 = time.time()
     applied = 0
     if maybe_schema_changes:
         changes = (
@@ -142,19 +145,23 @@ def apply_change_batch(
             "data", f"delta_b{batch_id:08d}_{uuid.uuid4().hex[:8]}"
         )
         stage_dir = os.path.join(table.root, stage_rel)
+        t0 = _prof(f"batch {batch_id} plan+schema", t0)
         (
             staged_cols.repartition(F.col("bucket"))
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(stage_dir)
         )
+        t0 = _prof(f"batch {batch_id} stage write", t0)
         files_by_bucket = list_bucket_files(stage_dir, stage_rel)
         # Per-bucket stats come straight off the just-written files' parquet
         # FOOTERS (row counts + int64 max statistics) — the second per-trigger
         # Spark job this path used to launch (a re-read of its own output) is
         # gone; see sinks.snapshot.delta_footer_stats.
         stats = delta_footer_stats(table.root, files_by_bucket)
+        t0 = _prof(f"batch {batch_id} footer stats", t0)
         merge_stats = table.register_deltas(files_by_bucket)
+        t0 = _prof(f"batch {batch_id} register_deltas", t0)
     else:
         stats = (
             winners.groupBy("bucket")
@@ -183,6 +190,7 @@ def apply_change_batch(
         }
         for r in sorted(stats, key=lambda r: r["bucket"])
     ]
+    t0 = _prof(f"batch {batch_id} merge/stats tail", t0)
     metrics.append(batch_id, partitions)
     ledger.commit(
         batch_id,
@@ -203,12 +211,14 @@ def apply_change_batch(
     # optimization, never part of the batch's exactly-once window (a crash
     # mid-compact leaves the pre-compact snapshot fully committed, and
     # compact() itself commits atomically).
+    t0 = _prof(f"batch {batch_id} metrics+ledger commit", t0)
     if (
         cfg.sink_commit == "append"
         and cfg.stream_compact_delta_files is not None
         and table.delta_file_count() > cfg.stream_compact_delta_files
     ):
         table.compact(spark)
+        t0 = _prof(f"batch {batch_id} compact", t0)
     return merge_stats
 
 
@@ -269,13 +279,17 @@ def stream_replay(
     )
 
     n_batches = {"n": 0}
+    last_end = {"t": None}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if last_end["t"] is not None:
+            _prof(f"trigger gap before batch {batch_id}", last_end["t"])
         apply_change_batch(
             spark, batch_df, int(batch_id), table, ledger, metrics, registry,
             cfg, maybe_schema_changes=maybe_sc,
         )
         n_batches["n"] += 1
+        last_end["t"] = time.time()
 
     drain_available_now(
         spark.readStream.schema(schema)
