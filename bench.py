@@ -55,6 +55,12 @@ def fixture_dir(n_events: int) -> str:
 # in BENCH/scaling_sessions.jsonl belong to "this code version".
 WORKLOAD_VERSION = "r3-64M-v1"
 
+# Quiet-machine floor for the ideal-kernel probe (min kernel_sec ever
+# observed across pinned scaling sessions, BENCH/scaling_sessions.jsonl —
+# co-tenant steal only ever ADDS time, so the minimum is the hardware).
+# Used by full mode's noise gate to annotate recorded driver benches.
+QUIET_KERNEL_SEC = {8: 4.61, 32: 1.75}
+
 
 def _code_version_key() -> str:
     try:
@@ -531,6 +537,25 @@ def main() -> None:
     # full: replay throughput (in-process) + headline query timings.
     # min-of-2: the first run pays page-cache + residual-JIT cost that a
     # sustained 10^10-event replay never sees per-event.
+    #
+    # Noise gate (round 5): this VM's co-tenant steal swings elapsed times
+    # ±50% (round 4's recorded 70.5 s vs a quiet-machine rerun of 49.2 s on
+    # fingerprint-identical code), so the recorded artifact carries the same
+    # ideal-kernel calibration the scaling sessions use: a headline number
+    # recorded while the kernel runs >25% over its quiet-machine floor is
+    # flagged `recorded_under_congestion` and must not be read as a
+    # cross-round code regression.
+    probe = run_probe(args.cpus, repeats=3)
+    quiet_floor = QUIET_KERNEL_SEC.get(args.cpus)
+    congestion = (
+        round(probe["kernel_sec"] / quiet_floor, 3) if quiet_floor else None
+    )
+    noise_gate = {
+        "kernel_sec": probe["kernel_sec"],
+        "quiet_kernel_sec": quiet_floor,
+        "congestion_factor": congestion,
+        "recorded_under_congestion": bool(congestion and congestion > 1.25),
+    }
     replay_stats = run_replay(args.cpus, repeats=2, n_events=N_EVENTS_FULL)
     timings = run_queries()
     total = round(sum(timings.values()) + replay_stats["elapsed_sec"], 3)
@@ -546,6 +571,7 @@ def main() -> None:
                 "replay_events_per_sec": replay_stats["events_per_sec"],
                 "replay_events": replay_stats["events"],
                 "cpus": args.cpus,
+                "noise_gate": noise_gate,
                 "workload_fingerprints": _workload_fingerprints(),
             }
         )

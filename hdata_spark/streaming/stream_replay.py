@@ -255,6 +255,7 @@ def stream_replay(
     cfg: ReplayConfig | None = None,
     max_files_per_trigger: int = 4,
     timeout_sec: int = 600,
+    _post_profile_hook=None,
 ) -> dict:
     """Drain the event-log directory through Structured Streaming.
 
@@ -262,6 +263,11 @@ def stream_replay(
     in `events_dir` in checkpointed micro-batches of `max_files_per_trigger`
     files, then stops. Re-invoking with the same checkpoint resumes after
     the last committed trigger — new files only (the WAL-tail loop).
+
+    `_post_profile_hook` is test-only: invoked between the schema-change
+    profile and the stream start, it deterministically reproduces a
+    concurrent WAL writer landing a segment inside that window (the race
+    the per-batch inputFiles() coverage check below exists for).
     """
     cfg = cfg or ReplayConfig()
     log = spark.read.parquet(events_dir)
@@ -270,13 +276,54 @@ def stream_replay(
     # Upfront profile (ONE tiny job per drain, the batch replayer's
     # max_sc_epoch rule): does the log contain ANY schema-change event? If
     # not, every micro-batch skips its schema-change filter+collect job — a
-    # fixed per-trigger cost on the (typical) schema-stable WAL tail. Sound
-    # under Trigger.AvailableNow: the drain processes exactly the files
-    # present now, i.e. the files this profile saw; a later resume re-profiles.
+    # fixed per-trigger cost on the (typical) schema-stable WAL tail.
+    #
+    # Soundness under a CONCURRENT WAL writer: the profile's batch read and
+    # the streaming query's AvailableNow snapshot are two separate file
+    # listings, so a segment landing between them would be drained without
+    # having been profiled. We therefore record exactly WHICH files the
+    # profile covered and, per micro-batch, escalate back to the full
+    # schema-change scan if the batch contains any file the profile never
+    # saw. The batch's exact file set comes from the checkpoint's
+    # file-source log (`<ckpt>/sources/0/<batchId>`, written by the source
+    # BEFORE foreachBatch runs) — a tiny driver-side JSON read, zero Spark
+    # jobs (micro-batch frames expose no inputFiles()). A quiescent log
+    # pays ~ms extra; a racing writer costs one filter job for the
+    # unprofiled batch, never a silently skipped schema change. If the
+    # source log can't be read (compacted/unexpected layout), escalate —
+    # the safe direction.
     maybe_sc = (
         "op" in schema.fieldNames()
         and log.filter(F.col("op") == "schema_change").limit(1).count() > 0
     )
+
+    def _norm_path(p: str) -> str:
+        from urllib.parse import unquote
+
+        p = unquote(p)
+        return p.split("://", 1)[-1] if "://" in p else p.removeprefix("file:")
+
+    profiled_files = frozenset(_norm_path(p) for p in log.inputFiles())
+
+    def _batch_fully_profiled(batch_id: int) -> bool:
+        import json as _json
+
+        log_path = os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
+        try:
+            with open(log_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or not line.startswith("{"):
+                        continue  # version header
+                    path = _json.loads(line).get("path")
+                    if path and _norm_path(path) not in profiled_files:
+                        return False
+            return True
+        except OSError:
+            return False
+
+    if _post_profile_hook is not None:
+        _post_profile_hook()
 
     n_batches = {"n": 0}
     last_end = {"t": None}
@@ -284,9 +331,10 @@ def stream_replay(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if last_end["t"] is not None:
             _prof(f"trigger gap before batch {batch_id}", last_end["t"])
+        batch_maybe_sc = maybe_sc or not _batch_fully_profiled(int(batch_id))
         apply_change_batch(
             spark, batch_df, int(batch_id), table, ledger, metrics, registry,
-            cfg, maybe_schema_changes=maybe_sc,
+            cfg, maybe_schema_changes=batch_maybe_sc,
         )
         n_batches["n"] += 1
         last_end["t"] = time.time()

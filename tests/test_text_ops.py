@@ -233,6 +233,24 @@ def test_ivf_n_cells_guard(spark):
         kmeans_fit(e, n_cells=1 << 20)
 
 
+def test_ivf_assign_preserves_null_and_empty_embeddings(spark):
+    """ivf_assign is row-preserving: a NULL or empty embedding emits no
+    scored_cells rows (posexplode yields nothing), but the id must still
+    come back — in sentinel cell 0, matching where the interpreted-HOF
+    form's coalesce(csim, -2) ranking placed such vectors."""
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),   # centroids
+        (2, None),                           # NULL embedding
+        (3, []),                             # empty embedding
+        (4, [0.0, 1.0]),                     # clean
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["cell"] for r in ivf_assign(df, n_cells=2).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[2] == 0 and out[3] == 0
+    assert out[4] == 1
+
+
 def test_ivf_assign_survives_nan_and_zero_vectors(spark):
     """Dirty embeddings (NaN components, all-zero vectors) must not abort
     the ANSI cast in the packed argmax ordering — they rank below every real
