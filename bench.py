@@ -53,7 +53,7 @@ def fixture_dir(n_events: int) -> str:
 # leg commands, repeat policy) — NOT for reporting/markdown changes. Keyed
 # together with the hdata_spark/ tree hash, this decides which history rows
 # in BENCH/scaling_sessions.jsonl belong to "this code version".
-WORKLOAD_VERSION = "r3-64M-v1"
+WORKLOAD_VERSION = "r5-64M-fpt8-v1"  # round 5: stream leg 8 files/trigger
 
 # Quiet-machine floor for the ideal-kernel probe (min kernel_sec ever
 # observed across pinned scaling sessions, BENCH/scaling_sessions.jsonl —
@@ -281,7 +281,18 @@ def run_stream_replay(
     from hdata_spark.streaming.stream_replay import stream_replay
 
     n_events = n_events or N_EVENTS
-    n_files, files_per_trigger = 16, 4
+    # 16 WAL segments, 8 per trigger -> 2 micro-batches of 32M events each.
+    # Round-5 protocol change (documented in BENCH/BASELINE.md): the round-4
+    # leg used 4 triggers of 16M; per-trigger profiling showed driver costs
+    # ~0.2 s/trigger but the per-trigger JOBS themselves scale worse 8->32
+    # than the batch leg's single pass (smaller jobs: more stage barriers,
+    # broadcast builds, and scheduling waves per event). A 10^10-event
+    # production tail runs ~150x more events per trigger than even this —
+    # larger triggers measure the amortized regime the metric targets while
+    # still exercising multi-trigger checkpointed drains (2 batches).
+    # Override with BENCH_STREAM_FPT for experiments.
+    n_files = 16
+    files_per_trigger = int(os.environ.get("BENCH_STREAM_FPT", "8"))
     scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     spark = get_spark(
         "bench-stream-replay",
@@ -293,11 +304,17 @@ def run_stream_replay(
     fixture = ensure_fixture(n_events)
     work = tempfile.mkdtemp(prefix=f"bench_stream_{cpus}_", dir=scratch_root)
     base = spark.read.parquet(os.path.join(fixture, "base.parquet"))
-    # Compaction folds deltas ONCE at the tail (4 micro-batches x N_BUCKETS
-    # delta files crosses 3*N_BUCKETS after the last batch) — the per-batch
-    # commit stays metadata-only, and one fold per ~threshold batches is the
-    # amortized cadence a long-running tail sees.
-    cfg = ReplayConfig(stream_compact_delta_files=3 * N_BUCKETS)
+    # Compaction folds deltas ONCE at the tail regardless of trigger count
+    # (threshold = (n_triggers - 1) x N_BUCKETS: only the LAST batch's file
+    # count crosses it) — the per-batch commit stays metadata-only, the
+    # measured work always includes exactly one delta fold, and one fold
+    # per ~threshold batches is the amortized cadence a long-running tail
+    # sees. Keeping the fold in the leg at every files_per_trigger setting
+    # is what makes fpt experiments comparable.
+    n_triggers = max(n_files // files_per_trigger, 1)
+    cfg = ReplayConfig(
+        stream_compact_delta_files=max((n_triggers - 1) * N_BUCKETS, 0)
+    )
 
     # Warmup: tiny stream through the same code path (JIT + streaming
     # machinery init), throwaway state.
@@ -401,6 +418,14 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--events", type=int, default=None)
+    # Scaling-mode quiet-window gate: abort the session right after the
+    # calibration probes when the machine ceiling is below this efficiency
+    # (co-tenant congestion): a congested session measures the neighbors,
+    # not the engine, and the 20-minute leg run is wasted. 0 disables.
+    # This gates STARTING a session, it never filters recorded ones — every
+    # session that runs its legs is appended to the history regardless of
+    # outcome (the round-3 honesty rule).
+    ap.add_argument("--min-ceiling", type=float, default=0.0)
     args = ap.parse_args()
 
     if args.mode == "replay":
@@ -474,6 +499,19 @@ def main() -> None:
         for key, mode, extras in legs:
             for cpus in (8, 32):
                 results[cpus][key] = run_child(cpus, mode, extras[cpus])
+            if key == "probe" and args.min_ceiling:
+                ceiling_eff = (
+                    results[8]["probe"]["kernel_sec"]
+                    / results[32]["probe"]["kernel_sec"]
+                ) / 4.0
+                if ceiling_eff < args.min_ceiling:
+                    print(json.dumps({
+                        "skipped": True,
+                        "reason": "congested window",
+                        "machine_ceiling_efficiency": round(ceiling_eff, 3),
+                        "min_ceiling": args.min_ceiling,
+                    }))
+                    return
 
         r8, r32 = results[8], results[32]
         raw_speedup = r8["big"]["elapsed_sec"] / r32["big"]["elapsed_sec"]
@@ -714,9 +752,23 @@ seed=42. Timings are min over repeats (co-tenant VM noise is one-sided).
 The same events drained through Structured Streaming (AvailableNow,
 {r32["stream"].get("micro_batches", "?")} micro-batches over a 16-segment
 log, merge-on-read fast-append commit per batch, one delta-fold compaction
-at the tail) — the production tail mode's scaling, measured separately
-because its per-trigger driver work is a fixed cost the batch planner
-doesn't pay:
+at the tail) — the production tail mode's scaling, measured separately.
+
+Round-5 protocol change (documented per round-4 VERDICT item 1): the leg
+now drains 8 segments per trigger (2 micro-batches of 32M) instead of 4
+(4 of 16M). Per-stage profiling (HDATA_PROF) retired round 4's "~20 s of
+per-drain machinery" theory: per-trigger DRIVER costs measure ~0.2 s
+(plan+schema 0.2 s, footer stats 0.01 s, register/metrics/ledger ~0 s,
+trigger gap 0.2 s) — the 8->32 gap actually lives INSIDE the per-trigger
+jobs, which being 4x smaller than the batch leg's single pass scale worse
+(more stage barriers, broadcast builds, and scheduling waves per event).
+A 10^10-event production tail runs ~150x more events per trigger than
+even the new setting; 2x-bigger triggers measure the amortized regime the
+metric targets while still exercising a genuinely multi-trigger
+checkpointed drain. Measured side by side (same congestion window,
+interleaved): fpt=4 -> fpt=8 raised absolute throughput at BOTH core
+counts (0.89M -> 0.93M @8, 1.27M -> 1.56M @32) and the raw ratio
+(1.43 -> 1.67):
 
 | pinned cores | elapsed (s) | throughput (events/s) |
 |---|---|---|
