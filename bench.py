@@ -500,15 +500,28 @@ def main() -> None:
             for cpus in (8, 32):
                 results[cpus][key] = run_child(cpus, mode, extras[cpus])
             if key == "probe" and args.min_ceiling:
-                ceiling_eff = (
-                    results[8]["probe"]["kernel_sec"]
-                    / results[32]["probe"]["kernel_sec"]
-                ) / 4.0
-                if ceiling_eff < args.min_ceiling:
+                k8 = results[8]["probe"]["kernel_sec"]
+                k32 = results[32]["probe"]["kernel_sec"]
+                ceiling_eff = (k8 / k32) / 4.0
+                # Quiet = BOTH probe brackets near their historical floors
+                # (QUIET_KERNEL_SEC, min ever observed): the ratio alone
+                # can't tell "quiet" from "equally congested on both
+                # brackets", and one-sided congestion is exactly what
+                # fabricates bad ratios mid-session.
+                slack = 1.15
+                quiet = (
+                    ceiling_eff >= args.min_ceiling
+                    and k8 <= QUIET_KERNEL_SEC[8] * slack
+                    and k32 <= QUIET_KERNEL_SEC[32] * slack
+                )
+                if not quiet:
                     print(json.dumps({
                         "skipped": True,
                         "reason": "congested window",
                         "machine_ceiling_efficiency": round(ceiling_eff, 3),
+                        "kernel_sec_8": k8,
+                        "kernel_sec_32": k32,
+                        "quiet_floors": QUIET_KERNEL_SEC,
                         "min_ceiling": args.min_ceiling,
                     }))
                     return
@@ -768,7 +781,7 @@ metric targets while still exercising a genuinely multi-trigger
 checkpointed drain. Measured side by side (same congestion window,
 interleaved): fpt=4 -> fpt=8 raised absolute throughput at BOTH core
 counts (0.89M -> 0.93M @8, 1.27M -> 1.56M @32) and the raw ratio
-(1.43 -> 1.67):
+(1.43 -> 1.67). Full per-trigger stage table: BENCH/STREAM_PROFILE.md.
 
 | pinned cores | elapsed (s) | throughput (events/s) |
 |---|---|---|
