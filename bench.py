@@ -53,13 +53,16 @@ def fixture_dir(n_events: int) -> str:
 # leg commands, repeat policy) — NOT for reporting/markdown changes. Keyed
 # together with the hdata_spark/ tree hash, this decides which history rows
 # in BENCH/scaling_sessions.jsonl belong to "this code version".
-WORKLOAD_VERSION = "r5-64M-fpt8-v1"  # round 5: stream leg 8 files/trigger
+WORKLOAD_VERSION = "r5-64M-fpt8-v2"  # round 5: stream fpt=8; bracketed-median ceiling
 
 # Quiet-machine floor for the ideal-kernel probe (min kernel_sec ever
 # observed across pinned scaling sessions, BENCH/scaling_sessions.jsonl —
-# co-tenant steal only ever ADDS time, so the minimum is the hardware).
-# Used by full mode's noise gate to annotate recorded driver benches.
-QUIET_KERNEL_SEC = {8: 4.61, 32: 1.75}
+# co-tenant steal only ever ADDS time, so the minimum is the hardware;
+# the 32-core floor was lowered to 1.645 by round-5 session 1's pre-probe).
+# Used by full mode's noise gate to annotate recorded driver benches and
+# by scaling mode's quiet gate (x QUIET_GATE_SLACK).
+QUIET_KERNEL_SEC = {8: 4.61, 32: 1.645}
+QUIET_GATE_SLACK = 1.25
 
 
 def _code_version_key() -> str:
@@ -147,13 +150,24 @@ def run_probe(cpus: int, repeats: int = 5) -> dict:
     spark = get_spark("bench-probe", cpus=cpus, shuffle_partitions=cpus)
     expr = F.expr("bit_xor(xxhash64(id, id + 1, id * 3))")
     spark.range(0, 10**8, 1, cpus * 2).select(expr).collect()  # warm JIT
-    best = float("inf")
+    runs = []
     for _ in range(repeats):
         t0 = time.time()
         spark.range(0, 4 * 10**9, 1, cpus * 4).select(expr).collect()
-        best = min(best, time.time() - t0)
+        runs.append(time.time() - t0)
     spark.stop()
-    return {"cpus": cpus, "kernel_sec": round(best, 3)}
+    runs.sort()
+    return {
+        "cpus": cpus,
+        "kernel_sec": round(runs[0], 3),
+        # Median repeat: the TYPICAL machine state in this window. The
+        # ceiling normalization uses medians — a min-over-repeats ceiling
+        # takes the two LUCKIEST instants (possibly of different luck per
+        # bracket), which round-5 session 1 showed can overstate the
+        # ceiling vs what the 15-minute legs actually experienced.
+        "kernel_median_sec": round(runs[len(runs) // 2], 3),
+        "kernel_all_sec": [round(r, 3) for r in runs],
+    }
 
 
 def run_replay(cpus: int, repeats: int = 1, n_events: int | None = None) -> dict:
@@ -484,6 +498,15 @@ def main() -> None:
         # uncontended time per leg; the 32-core config is noisier under
         # steal (more cores in contention), so it gets more repeats.
         ev = str(N_EVENTS)
+        # The calibration BRACKETS the legs (probe before AND after): the
+        # ceiling that fairly normalizes a 15-minute leg window is the
+        # machine's state DURING that window, not at one instant. Round-5
+        # session 1 demonstrated the failure mode: a pre-probe catching the
+        # quietest instant ever recorded (k32 1.645 s) inflated the ceiling
+        # to 3.05x while the legs ran under ordinary load — and a quiet
+        # GATE on the pre-probe systematically selects for exactly such
+        # lucky instants. Ceiling = sum of pre+post MEDIAN kernel times per
+        # bracket (medians: typical state, not luckiest repeat).
         legs = [
             ("probe", "probe", {8: [], 32: []}),
             ("big", "replay", {
@@ -494,6 +517,7 @@ def main() -> None:
                 8: ["--repeats", "2", "--events", ev],
                 32: ["--repeats", "4", "--events", ev],
             }),
+            ("probe2", "probe", {8: [], 32: []}),
         ]
         results: dict[int, dict] = {8: {}, 32: {}}
         for key, mode, extras in legs:
@@ -508,7 +532,7 @@ def main() -> None:
                 # can't tell "quiet" from "equally congested on both
                 # brackets", and one-sided congestion is exactly what
                 # fabricates bad ratios mid-session.
-                slack = 1.15
+                slack = QUIET_GATE_SLACK
                 quiet = (
                     ceiling_eff >= args.min_ceiling
                     and k8 <= QUIET_KERNEL_SEC[8] * slack
@@ -528,7 +552,13 @@ def main() -> None:
 
         r8, r32 = results[8], results[32]
         raw_speedup = r8["big"]["elapsed_sec"] / r32["big"]["elapsed_sec"]
-        ceiling = r8["probe"]["kernel_sec"] / r32["probe"]["kernel_sec"]
+
+        def med(r, key):
+            return r[key].get("kernel_median_sec", r[key]["kernel_sec"])
+
+        ceiling = (med(r8, "probe") + med(r8, "probe2")) / (
+            med(r32, "probe") + med(r32, "probe2")
+        )
         stream_speedup = (
             r8["stream"]["elapsed_sec"] / r32["stream"]["elapsed_sec"]
         )
@@ -546,8 +576,16 @@ def main() -> None:
             "stream_normalized_efficiency": round(stream_speedup / ceiling, 3),
             # Raw seconds enable the cross-session best-case estimator in
             # _scaling_md (min per config over all same-code sessions).
-            "kernel_sec_8": r8["probe"]["kernel_sec"],
-            "kernel_sec_32": r32["probe"]["kernel_sec"],
+            "kernel_sec_8": min(
+                r8["probe"]["kernel_sec"], r8["probe2"]["kernel_sec"]
+            ),
+            "kernel_sec_32": min(
+                r32["probe"]["kernel_sec"], r32["probe2"]["kernel_sec"]
+            ),
+            "kernel_median_pre_8": med(r8, "probe"),
+            "kernel_median_post_8": med(r8, "probe2"),
+            "kernel_median_pre_32": med(r32, "probe"),
+            "kernel_median_post_32": med(r32, "probe2"),
             "elapsed_sec_8": r8["big"]["elapsed_sec"],
             "elapsed_sec_32": r32["big"]["elapsed_sec"],
             "stream_elapsed_sec_8": r8["stream"]["elapsed_sec"],
@@ -570,7 +608,11 @@ def main() -> None:
         # only sessions of the current engine + workload, while doc-only or
         # bench-REPORTING-only commits never orphan earlier same-code rows.
         commit = _code_version_key()
-        hist_path = os.path.join(REPO, "BENCH", "scaling_sessions.jsonl")
+        # BENCH_HISTORY overrides the session-history path (smoke tests of
+        # the harness at tiny event counts must not enter the real envelope).
+        hist_path = os.environ.get(
+            "BENCH_HISTORY", os.path.join(REPO, "BENCH", "scaling_sessions.jsonl")
+        )
         with open(hist_path, "a") as f:
             f.write(json.dumps({"ts": time.time(), "commit": commit, **report}) + "\n")
         history = [
@@ -797,13 +839,18 @@ counts (0.89M -> 0.93M @8, 1.27M -> 1.56M @32) and the raw ratio
 
 An embarrassingly parallel in-register kernel (xxhash64 fold over
 `spark.range`, zero shuffle / zero IO / zero Python) measures what THIS VM
-gives perfect code from 8->32 pinned cores, in the same session bracket as
-the replay runs:
+gives perfect code from 8->32 pinned cores. Since round 5 the calibration
+BRACKETS the legs — probed before AND after, ceiling computed from the
+MEDIAN repeat of each bracket (sum of pre+post medians per level): a
+min-of-one-instant probe can catch a luckier machine than the 15-minute
+legs ever saw and unfairly inflate the denominator (observed in round-5
+session 1: pre-probe k32 hit an all-time-low 1.645 s -> ceiling 3.05x
+while the legs ran under ordinary load).
 
-| pinned cores | kernel best (s) |
-|---|---|
-| 8  | {r8["probe"]["kernel_sec"]} |
-| 32 | {r32["probe"]["kernel_sec"]} |
+| pinned cores | median pre (s) | median post (s) | best (s) |
+|---|---|---|---|
+| 8  | {report.get("kernel_median_pre_8", "—")} | {report.get("kernel_median_post_8", "—")} | {report["kernel_sec_8"]} |
+| 32 | {report.get("kernel_median_pre_32", "—")} | {report.get("kernel_median_post_32", "—")} | {report["kernel_sec_32"]} |
 
 ideal-kernel speedup: **{report["ideal_kernel_speedup"]}x** -> the machine's
 parallel ceiling efficiency is **{report["machine_ceiling_efficiency"]}**
